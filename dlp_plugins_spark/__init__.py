@@ -1,0 +1,28 @@
+"""dlp_plugins_spark — a PySpark-native CDC/incremental-ingest analytics engine.
+
+Re-expresses the query/data-processing capabilities of the reference
+``data-integrations/dlp-plugins`` (a CDAP plugin suite wrapping the Google
+Cloud DLP API: redact / PII-filter / decrypt transforms) as an idiomatic,
+from-scratch PySpark engine:
+
+- ``functions/``  — vectorized detection + value-transform kernels
+  (infoType regexes, mask/replace/redact/crypto-hash/date-shift/FPE/
+  deterministic-encryption), text analysis, similarity primitives.
+- ``plans/``      — declarative TransformSpec config IR + validation,
+  mirroring the reference's deploy-time plan checks
+  (reference: DLPTransformPluginConfig.java:115-227).
+- ``operators/``  — DataFrame-level operators: redaction (de-identify),
+  sensitive-record splitter, decrypt (re-identify), dedup family,
+  similarity search, text quality.
+- ``cdc/``        — the binlog->lake engine: deterministic binlog
+  generator, Iceberg-style snapshot lake table, LWW MERGE upsert with
+  exactly-once checkpointing, replay driver.
+- ``sources/``    — readers for the lake table / binlog segments /
+  driver-provided parquet.
+- ``streaming/``  — micro-batch tail loop over committed binlog segments.
+
+Everything is DataFrame-API-first: Catalyst handles pruning/pushdown;
+Python appears only inside Arrow-batched pandas UDFs (never per-row).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,132 @@
+"""AES block-cipher primitive with a pure-Python fallback.
+
+The engine needs only AES *encryption of single 16-byte blocks*: FF1
+format-preserving encryption (NIST SP 800-38G) uses AES-CBC-MAC as its
+round PRF, and AES-SIV (RFC 5297) is CMAC + CTR — all buildable from the
+forward block function. We prefer the ``cryptography`` wheel when
+importable (C-backed, ~100x faster) and fall back to a small table-based
+pure-Python AES so the engine has zero hard third-party deps beyond the
+guaranteed pyspark/pandas/numpy stack.
+
+Public knowledge only: FIPS-197 (AES) algorithm; test vectors from
+FIPS-197 Appendix C are asserted in tests/test_crypto.py.
+"""
+
+from __future__ import annotations
+
+try:  # fast path
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    _HAVE_CRYPTOGRAPHY = True
+except ImportError:  # pragma: no cover - exercised only without the wheel
+    _HAVE_CRYPTOGRAPHY = False
+
+# ---------------------------------------------------------------------------
+# Pure-Python AES (encrypt-only), FIPS-197.
+# ---------------------------------------------------------------------------
+
+_SBOX = None  # built lazily
+_RCON = None
+
+
+def _build_tables() -> None:
+    global _SBOX, _RCON
+    if _SBOX is not None:
+        return
+    # S-box via multiplicative inverse in GF(2^8) + affine transform.
+    p, q = 1, 1
+    sbox = [0] * 256
+    sbox[0] = 0x63
+    while True:
+        # p := p * 3 in GF(2^8)
+        p = p ^ ((p << 1) & 0xFF) ^ (0x1B if p & 0x80 else 0)
+        # q := q / 3 (q * 0xF6)
+        q ^= (q << 1) & 0xFF
+        q ^= (q << 2) & 0xFF
+        q ^= (q << 4) & 0xFF
+        if q & 0x80:
+            q ^= 0x09
+        x = q ^ ((q << 1) | (q >> 7)) ^ ((q << 2) | (q >> 6)) \
+            ^ ((q << 3) | (q >> 5)) ^ ((q << 4) | (q >> 4))
+        sbox[p] = (x ^ 0x63) & 0xFF
+        if p == 1:
+            break
+    _SBOX = sbox
+    rcon = [1]
+    for _ in range(13):
+        r = rcon[-1]
+        rcon.append(((r << 1) ^ (0x1B if r & 0x80 else 0)) & 0xFF)
+    _RCON = rcon
+
+
+def _xtime(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+def _expand_key(key: bytes) -> list[list[int]]:
+    _build_tables()
+    nk = len(key) // 4
+    nr = nk + 6
+    words = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(words[i - 1])
+        if i % nk == 0:
+            t = t[1:] + t[:1]
+            t = [_SBOX[b] for b in t]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
+    # group into round keys of 16 bytes
+    return [
+        [b for w in words[4 * r : 4 * r + 4] for b in w] for r in range(nr + 1)
+    ]
+
+
+def _encrypt_block_py(round_keys: list[list[int]], block: bytes) -> bytes:
+    nr = len(round_keys) - 1
+    s = [b ^ k for b, k in zip(block, round_keys[0])]
+    for rnd in range(1, nr + 1):
+        s = [_SBOX[b] for b in s]  # SubBytes
+        # ShiftRows (column-major state: byte i is row i%4, col i//4)
+        s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
+        if rnd != nr:  # MixColumns
+            t = []
+            for c in range(4):
+                a = s[4 * c : 4 * c + 4]
+                t += [
+                    _xtime(a[0]) ^ _xtime(a[1]) ^ a[1] ^ a[2] ^ a[3],
+                    a[0] ^ _xtime(a[1]) ^ _xtime(a[2]) ^ a[2] ^ a[3],
+                    a[0] ^ a[1] ^ _xtime(a[2]) ^ _xtime(a[3]) ^ a[3],
+                    _xtime(a[0]) ^ a[0] ^ a[1] ^ a[2] ^ _xtime(a[3]),
+                ]
+            s = t
+        s = [b ^ k for b, k in zip(s, round_keys[rnd])]
+    return bytes(s)
+
+
+class AESBlock:
+    """AES forward block cipher: ``encrypt_block(16 bytes) -> 16 bytes``."""
+
+    def __init__(self, key: bytes):
+        if len(key) not in (16, 24, 32):
+            raise ValueError(f"AES key must be 16/24/32 bytes, got {len(key)}")
+        self.key = key
+        if _HAVE_CRYPTOGRAPHY:
+            self._enc = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
+            self._py_keys = None
+        else:
+            self._enc = None
+            self._py_keys = _expand_key(key)
+
+    def encrypt_block(self, block: bytes) -> bytes:
+        if len(block) != 16:
+            raise ValueError("block must be 16 bytes")
+        if self._enc is not None:
+            return self._enc.update(block)
+        return _encrypt_block_py(self._py_keys, block)
+
+
+def have_fast_aes() -> bool:
+    return _HAVE_CRYPTOGRAPHY

@@ -1,0 +1,400 @@
+"""Cryptographic value transforms matching the reference's semantics.
+
+Reference (data-integrations/dlp-plugins) delegates these to the Cloud DLP
+API; we implement them in-process, deterministically:
+
+- CRYPTO_HASH       -> HMAC-SHA-256 (hex digest)
+  (ref: CryptoHashTransformationConfig.java:32-71)
+- FORMAT_PRESERVING_ENCRYPTION -> NIST SP 800-38G FF1 over a configured
+  alphabet, surrogate-annotated
+  (ref: CryptoReplaceFfxFpeTransformationConfig.java:40-124)
+- DETERMINISTIC_ENCRYPTION -> AES-SIV (RFC 5297), base64 payload,
+  surrogate-annotated
+  (ref: CryptoDeterministicTransformationConfig.java:37-99)
+- DATE_SHIFT        -> *determinized*: keyed-hash shift in
+  [lower, upper] days (DLP's random shift would break the engine's
+  sha256 reproducibility invariant; DLP itself offers context-keyed
+  shifting, which this mirrors)
+  (ref: DateShiftTransformationConfig.java:31-91)
+
+Key material mirrors CryptoKeyHelper.java:53-134 key types, determinized:
+TRANSIENT keys derive from the key *name* (reference uses new Random() —
+nondeterministic; CryptoKeyHelper.java:59-63), UNWRAPPED keys are base64
+16/24/32-byte keys, KMS_WRAPPED keys derive from (cryptoKeyName,
+wrappedKey) since no KMS exists offline.
+
+Surrogate token format: ``NAME(len):payload`` where ``len`` is the
+character length of ``payload`` — the format the DLP widget documents
+(widgets/SensitiveRecordRedaction-transform.json:438) and the decrypt
+plugin re-identifies (SensitiveRecordDecrypt.java:163-191).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import math
+import re
+
+from dlp_plugins_spark.functions._aes import AESBlock
+
+# ---------------------------------------------------------------------------
+# Keys (ref: CryptoKeyHelper.java)
+# ---------------------------------------------------------------------------
+
+VALID_KEY_LENS = (16, 24, 32)
+
+
+def resolve_key(
+    key_type: str,
+    name: str | None = None,
+    key: str | None = None,
+    crypto_key_name: str | None = None,
+    wrapped_key: str | None = None,
+) -> bytes:
+    """Return raw key bytes for the three reference key types."""
+    kt = (key_type or "").upper()
+    if kt == "TRANSIENT":
+        # ref CryptoKeyHelper.java:59-63 uses new Random() — determinized
+        # here so replay hashes are reproducible.
+        return hashlib.sha256(b"transient:" + (name or "").encode()).digest()
+    if kt == "UNWRAPPED":
+        try:
+            raw = base64.b64decode(key or "", validate=True)
+        except Exception as exc:
+            raise ValueError(f"unwrapped key is not valid base64: {exc}") from exc
+        if len(raw) not in VALID_KEY_LENS:
+            # ref CryptoKeyHelper.java:101-110: must decode to 16/24/32 bytes
+            raise ValueError(
+                f"unwrapped key must be 16/24/32 bytes, got {len(raw)}"
+            )
+        return raw
+    if kt == "KMS_WRAPPED":
+        if not crypto_key_name or not wrapped_key:
+            raise ValueError("KMS_WRAPPED requires cryptoKeyName and wrappedKey")
+        return hashlib.sha256(
+            b"kms:" + crypto_key_name.encode() + b":" + wrapped_key.encode()
+        ).digest()
+    raise ValueError(f"unknown key type: {key_type!r}")
+
+
+# ---------------------------------------------------------------------------
+# CRYPTO_HASH — HMAC-SHA-256
+# ---------------------------------------------------------------------------
+
+def crypto_hash(value: str, key: bytes) -> str:
+    """HMAC-SHA-256 hex digest of ``value`` (ref transform #7)."""
+    return hmac.new(key, value.encode("utf-8"), hashlib.sha256).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# FF1 format-preserving encryption (NIST SP 800-38G)
+# ---------------------------------------------------------------------------
+
+# Alphabets from the reference widget (CryptoReplaceFfxFpeTransformationConfig
+# FfxCommonNativeAlphabet; widgets/SensitiveRecordRedaction-transform.json)
+ALPHABETS = {
+    "NUMERIC": "0123456789",
+    "HEXADECIMAL": "0123456789abcdef",
+    "UPPER_CASE_ALPHA_NUMERIC": "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+    "ALPHA_NUMERIC": (
+        "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    ),
+}
+
+
+class FF1:
+    """FF1 mode of SP 800-38G over an arbitrary alphabet (radix 2..2^16)."""
+
+    NUM_ROUNDS = 10
+
+    def __init__(self, key: bytes, alphabet: str, tweak: bytes = b""):
+        if len(set(alphabet)) != len(alphabet):
+            raise ValueError("alphabet has duplicate characters")
+        if not (2 <= len(alphabet) <= 2**16):
+            raise ValueError("radix must be in [2, 2^16]")
+        self.alphabet = alphabet
+        self.radix = len(alphabet)
+        self.idx = {c: i for i, c in enumerate(alphabet)}
+        self.tweak = tweak
+        self.aes = AESBlock(key)
+        # minlen: radix^minlen >= 1_000_000 per SP 800-38G rev1 draft is
+        # stricter; original spec requires radix^minlen >= 100 and minlen>=2.
+        self.minlen = max(2, math.ceil(math.log(100) / math.log(self.radix)))
+        self.maxlen = 2**32
+
+    # -- radix helpers ------------------------------------------------------
+    def _num(self, s: str) -> int:
+        x = 0
+        for c in s:
+            x = x * self.radix + self.idx[c]
+        return x
+
+    def _str(self, x: int, m: int) -> str:
+        out = []
+        for _ in range(m):
+            out.append(self.alphabet[x % self.radix])
+            x //= self.radix
+        return "".join(reversed(out))
+
+    def _prf(self, data: bytes) -> bytes:
+        """AES-CBC-MAC with zero IV (SP 800-38G PRF)."""
+        y = b"\x00" * 16
+        for i in range(0, len(data), 16):
+            y = self.aes.encrypt_block(bytes(a ^ b for a, b in zip(y, data[i : i + 16])))
+        return y
+
+    def _setup(self, n: int):
+        t = self.tweak
+        u = n // 2
+        v = n - u
+        # b = ceil(ceil(v * log2(radix)) / 8)
+        b = math.ceil(math.ceil(v * math.log2(self.radix)) / 8)
+        d = 4 * math.ceil(b / 4) + 4
+        P = (
+            b"\x01\x02\x01"
+            + self.radix.to_bytes(3, "big")
+            + b"\x0a"
+            + bytes([u % 256])
+            + n.to_bytes(4, "big")
+            + len(t).to_bytes(4, "big")
+        )
+        pad = (-len(t) - b - 1) % 16
+        return u, v, b, d, P, pad
+
+    def _s_block(self, P: bytes, Q: bytes, d: int) -> int:
+        R = self._prf(P + Q)
+        S = bytearray(R)
+        j = 1
+        while len(S) < d:
+            block = bytes(a ^ b for a, b in zip(R, j.to_bytes(16, "big")))
+            S += self.aes.encrypt_block(block)
+            j += 1
+        return int.from_bytes(bytes(S[:d]), "big")
+
+    def encrypt(self, plaintext: str) -> str:
+        n = len(plaintext)
+        if n < self.minlen:
+            raise ValueError(f"input too short for FF1 (min {self.minlen})")
+        u, v, b, d, P, pad = self._setup(n)
+        A, B = plaintext[:u], plaintext[u:]
+        t = self.tweak
+        for i in range(self.NUM_ROUNDS):
+            Q = t + b"\x00" * pad + bytes([i]) + self._num(B).to_bytes(b, "big")
+            y = self._s_block(P, Q, d)
+            m = u if i % 2 == 0 else v
+            c = (self._num(A) + y) % (self.radix**m)
+            A, B = B, self._str(c, m)
+        return A + B
+
+    def decrypt(self, ciphertext: str) -> str:
+        n = len(ciphertext)
+        if n < self.minlen:
+            raise ValueError(f"input too short for FF1 (min {self.minlen})")
+        u, v, b, d, P, pad = self._setup(n)
+        A, B = ciphertext[:u], ciphertext[u:]
+        t = self.tweak
+        for i in range(self.NUM_ROUNDS - 1, -1, -1):
+            Q = t + b"\x00" * pad + bytes([i]) + self._num(A).to_bytes(b, "big")
+            y = self._s_block(P, Q, d)
+            m = u if i % 2 == 0 else v
+            c = (self._num(B) - y) % (self.radix**m)
+            B, A = A, self._str(c, m)
+        return A + B
+
+
+# ---------------------------------------------------------------------------
+# AES-SIV deterministic encryption (RFC 5297)
+# ---------------------------------------------------------------------------
+
+try:
+    from cryptography.hazmat.primitives.ciphers.aead import AESSIV as _AESSIV
+
+    _HAVE_AESSIV = True
+except ImportError:  # pragma: no cover
+    _HAVE_AESSIV = False
+
+
+def _dbl(block: bytes) -> bytes:
+    x = int.from_bytes(block, "big") << 1
+    if block[0] & 0x80:
+        x ^= 0x87
+    return (x & ((1 << 128) - 1)).to_bytes(16, "big")
+
+
+class _CMAC:
+    def __init__(self, key: bytes):
+        self.aes = AESBlock(key)
+        L = self.aes.encrypt_block(b"\x00" * 16)
+        self.k1 = _dbl(L)
+        self.k2 = _dbl(self.k1)
+
+    def mac(self, msg: bytes) -> bytes:
+        n = max(1, math.ceil(len(msg) / 16))
+        last_complete = len(msg) % 16 == 0 and len(msg) > 0
+        y = b"\x00" * 16
+        for i in range(n - 1):
+            y = self.aes.encrypt_block(
+                bytes(a ^ b for a, b in zip(y, msg[16 * i : 16 * i + 16]))
+            )
+        last = msg[16 * (n - 1) :]
+        if last_complete:
+            last = bytes(a ^ b for a, b in zip(last, self.k1))
+        else:
+            padded = last + b"\x80" + b"\x00" * (15 - len(last))
+            last = bytes(a ^ b for a, b in zip(padded, self.k2))
+        return self.aes.encrypt_block(bytes(a ^ b for a, b in zip(y, last)))
+
+
+class AESSIVCipher:
+    """Deterministic AEAD. Key is 32 bytes (two AES-128 keys) or 64."""
+
+    def __init__(self, key: bytes, context: bytes = b""):
+        if len(key) not in (32, 64):
+            # widen 16/24-byte reference keys to SIV's doubled size
+            key = hashlib.sha512(b"siv:" + key).digest()[:32]
+        self.key = key
+        self.context = context
+        if _HAVE_AESSIV:
+            self._impl = _AESSIV(key)
+        else:
+            half = len(key) // 2
+            self._cmac = _CMAC(key[:half])
+            self._ctr_key = key[half:]
+            self._impl = None
+
+    # pure-python S2V + CTR (RFC 5297) -------------------------------------
+    def _s2v(self, ads: list[bytes], plaintext: bytes) -> bytes:
+        d = self._cmac.mac(b"\x00" * 16)
+        for ad in ads:
+            d = bytes(a ^ b for a, b in zip(_dbl(d), self._cmac.mac(ad)))
+        if len(plaintext) >= 16:
+            t = plaintext[:-16] + bytes(
+                a ^ b for a, b in zip(plaintext[-16:], d)
+            )
+        else:
+            padded = plaintext + b"\x80" + b"\x00" * (15 - len(plaintext))
+            t = bytes(a ^ b for a, b in zip(_dbl(d), padded))
+        return self._cmac.mac(t)
+
+    def _ctr(self, iv: bytes, data: bytes) -> bytes:
+        ctr = int.from_bytes(
+            bytes(
+                b & m
+                for b, m in zip(iv, b"\xff" * 8 + b"\x7f\xff\xff\xff\x7f\xff\xff\xff")
+            ),
+            "big",
+        )
+        aes = AESBlock(self._ctr_key)
+        out = bytearray()
+        for i in range(0, len(data), 16):
+            ks = aes.encrypt_block(((ctr + i // 16) & ((1 << 128) - 1)).to_bytes(16, "big"))
+            chunk = data[i : i + 16]
+            out += bytes(a ^ b for a, b in zip(chunk, ks))
+        return bytes(out)
+
+    def encrypt(self, plaintext: bytes) -> bytes:
+        ads = [self.context] if self.context else []
+        if self._impl is not None:
+            return self._impl.encrypt(plaintext, ads or None)
+        v = self._s2v(ads, plaintext)
+        return v + self._ctr(v, plaintext)
+
+    def decrypt(self, data: bytes) -> bytes:
+        ads = [self.context] if self.context else []
+        if self._impl is not None:
+            return self._impl.decrypt(data, ads or None)
+        if len(data) < 16:
+            raise ValueError("ciphertext too short")
+        v, ct = data[:16], data[16:]
+        pt = self._ctr(v, ct)
+        if not hmac.compare_digest(self._s2v(ads, pt), v):
+            raise ValueError("AES-SIV authentication failed")
+        return pt
+
+
+# ---------------------------------------------------------------------------
+# Surrogate tokens  NAME(len):payload
+# ---------------------------------------------------------------------------
+
+SURROGATE_NAME_RE = re.compile(r"^[a-zA-Z0-9_]{1,64}$")
+# ref CryptoDeterministicTransformationConfig.java:39 surrogate name charset
+
+
+def make_surrogate(name: str, payload: str) -> str:
+    return f"{name}({len(payload)}):{payload}"
+
+
+def surrogate_pattern(name: str) -> re.Pattern:
+    """Regex finding ``name(len):`` headers; payload length read from group."""
+    return re.compile(re.escape(name) + r"\((\d+)\):")
+
+
+def find_surrogates(text: str, name: str) -> list[tuple[int, int, str]]:
+    """Return (start, end, payload) for every well-formed surrogate token."""
+    out = []
+    for m in surrogate_pattern(name).finditer(text):
+        plen = int(m.group(1))
+        payload = text[m.end() : m.end() + plen]
+        if len(payload) == plen:
+            out.append((m.start(), m.end() + plen, payload))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic encryption / decryption of string values
+# ---------------------------------------------------------------------------
+
+def det_encrypt(value: str, key: bytes, surrogate: str, context: str = "") -> str:
+    cipher = AESSIVCipher(key, context.encode("utf-8"))
+    ct = cipher.encrypt(value.encode("utf-8"))
+    return make_surrogate(surrogate, base64.b64encode(ct).decode("ascii"))
+
+
+def det_decrypt_payload(payload: str, key: bytes, context: str = "") -> str:
+    cipher = AESSIVCipher(key, context.encode("utf-8"))
+    return cipher.decrypt(base64.b64decode(payload)).decode("utf-8")
+
+
+def fpe_encrypt(
+    value: str, key: bytes, alphabet: str, surrogate: str | None, context: str = ""
+) -> str:
+    """FF1-encrypt ``value`` (all chars must be in alphabet).
+
+    With a surrogate name, wraps as ``NAME(len):ciphertext`` (the DLP
+    behavior when surrogateInfoTypeName is set); else returns raw
+    ciphertext of identical length/alphabet.
+    """
+    ff1 = FF1(key, alphabet, tweak=context.encode("utf-8"))
+    ct = ff1.encrypt(value)
+    return make_surrogate(surrogate, ct) if surrogate else ct
+
+
+def fpe_decrypt_payload(
+    payload: str, key: bytes, alphabet: str, context: str = ""
+) -> str:
+    ff1 = FF1(key, alphabet, tweak=context.encode("utf-8"))
+    return ff1.decrypt(payload)
+
+
+# ---------------------------------------------------------------------------
+# DATE_SHIFT — determinized keyed shift
+# ---------------------------------------------------------------------------
+
+def date_shift_days(
+    context_value: str, key: bytes, lower: int, upper: int
+) -> int:
+    """Deterministic shift in [lower, upper] keyed on a context value.
+
+    Ref DateShiftTransformationConfig.java:54-84 validates
+    |bound| <= 365250 and lower <= upper; DLP draws the shift at random,
+    which we replace with a keyed hash so replays are byte-identical.
+    """
+    if abs(lower) > 365250 or abs(upper) > 365250:
+        raise ValueError("date shift bounds must be within ±365250 days")
+    if lower > upper:
+        raise ValueError("lowerBoundDays must be <= upperBoundDays")
+    span = upper - lower + 1
+    h = hmac.new(key, b"dateshift:" + context_value.encode("utf-8"), hashlib.sha256)
+    return lower + int.from_bytes(h.digest()[:8], "big") % span

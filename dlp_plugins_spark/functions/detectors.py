@@ -1,0 +1,318 @@
+"""Deterministic infoType detectors (the engine's replacement for DLP
+``inspectContent``).
+
+The reference maps 9 composite filter groups to concrete Cloud DLP
+infoTypes (SensitiveDataMapping.java:38-143, expansion :153-166) and
+treats findings>0 as "sensitive" (SensitiveRecordFilter.java:179-197).
+We implement the detection itself: a registry of compiled regexes +
+optional validators (e.g. Luhn for credit cards), tuned for the engine's
+domain — credentials/PII embedded in source-code `content`.
+
+All detectors are deterministic and vectorizable: detection for a batch
+is one pandas ``str.contains``/``findall`` over a compiled union regex.
+
+Detector names reuse public Cloud DLP infoType identifiers (EMAIL_ADDRESS,
+CREDIT_CARD_NUMBER, ...) so the composite-group mapping mirrors
+SensitiveDataMapping.java one-to-one where the reference defines it.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable
+
+
+def luhn_ok(digits: str) -> bool:
+    ds = [int(c) for c in re.sub(r"[ -]", "", digits)]
+    if len(ds) < 12:
+        return False
+    total, parity = 0, (len(ds) - 2) % 2
+    for i, d in enumerate(ds):
+        if i % 2 == parity:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+@dataclass(frozen=True)
+class InfoType:
+    """A compiled detector: regex + optional per-match validator."""
+
+    name: str
+    pattern: str
+    flags: int = 0
+    validator: Callable[[str], bool] | None = None
+    description: str = ""
+    _compiled: list = field(default_factory=list, compare=False, repr=False)
+
+    @property
+    def regex(self) -> re.Pattern:
+        if not self._compiled:
+            self._compiled.append(re.compile(self.pattern, self.flags))
+        return self._compiled[0]
+
+    def findall(self, text: str) -> list[tuple[int, int]]:
+        """Spans of validated findings in ``text``."""
+        out = []
+        for m in self.regex.finditer(text):
+            if self.validator is None or self.validator(m.group(0)):
+                out.append((m.start(), m.end()))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+INFO_TYPES: dict[str, InfoType] = {}
+
+
+def _register(it: InfoType) -> InfoType:
+    INFO_TYPES[it.name] = it
+    return it
+
+
+EMAIL_ADDRESS = _register(InfoType(
+    "EMAIL_ADDRESS",
+    r"\b[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,24}\b",
+    description="RFC-5322-ish email address",
+))
+
+PHONE_NUMBER = _register(InfoType(
+    "PHONE_NUMBER",
+    # E.164 (+14155552671) or US-style 415-555-2671 / (415) 555-2671
+    r"(?<![\w.+-])(\+\d{1,3}[ .\-]?)?(\(\d{3}\)[ .\-]?|\d{3}[ .\-])\d{3}[ .\-]\d{4}(?!\w)"
+    r"|(?<![\w.+-])\+\d{7,15}\b",
+    description="E.164 or US NANP phone number",
+))
+
+CREDIT_CARD_NUMBER = _register(InfoType(
+    "CREDIT_CARD_NUMBER",
+    r"\b(?:\d[ \-]?){12,18}\d\b",
+    validator=luhn_ok,
+    description="13-19 digit PAN passing Luhn",
+))
+
+US_SOCIAL_SECURITY_NUMBER = _register(InfoType(
+    "US_SOCIAL_SECURITY_NUMBER",
+    r"\b(?!000|666|9\d\d)\d{3}-(?!00)\d{2}-(?!0000)\d{4}\b",
+    description="US SSN with area/group/serial validity",
+))
+
+US_PASSPORT = _register(InfoType(
+    "US_PASSPORT",
+    r"\b(?:passport(?:\s*(?:no|number|#))?[:\s]+)[A-Z]?\d{8}\b",
+    flags=re.IGNORECASE,
+    description="US passport number with context word",
+))
+
+US_DRIVERS_LICENSE_NUMBER = _register(InfoType(
+    "US_DRIVERS_LICENSE_NUMBER",
+    r"\b(?:driver'?s?\s*license|DL)\s*(?:no|number|#)?[:\s]+[A-Z0-9]{5,13}\b",
+    flags=re.IGNORECASE,
+    description="US driver's license with context word",
+))
+
+DATE_OF_BIRTH = _register(InfoType(
+    "DATE_OF_BIRTH",
+    r"\b(?:dob|date\s+of\s+birth|born)[:\s]+\d{4}-\d{2}-\d{2}\b",
+    flags=re.IGNORECASE,
+    description="ISO date with DOB context word",
+))
+
+IP_ADDRESS = _register(InfoType(
+    "IP_ADDRESS",
+    r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b",
+    description="IPv4 address",
+))
+
+STREET_ADDRESS = _register(InfoType(
+    "STREET_ADDRESS",
+    r"\b\d{1,5}\s+[A-Z][a-z]+(?:\s[A-Z][a-z]+)*\s(?:St|Ave|Blvd|Rd|Dr|Ln|Way|Ct)\.?\b",
+    description="US street address",
+))
+
+US_INDIVIDUAL_TAXPAYER_ID = _register(InfoType(
+    "US_INDIVIDUAL_TAXPAYER_IDENTIFICATION_NUMBER",
+    r"\b9\d{2}-(?:5\d|6[0-5]|7\d|8[0-8]|9[0-2]|9[4-9])-\d{4}\b",
+    description="US ITIN (9xx-5x..9x-xxxx)",
+))
+
+US_HEALTHCARE_NPI = _register(InfoType(
+    "US_HEALTHCARE_NPI",
+    r"\b(?:npi)[:\s#]+\d{10}\b",
+    flags=re.IGNORECASE,
+    description="US healthcare NPI with context word",
+))
+
+# --- credentials in code (the engine's primary domain) ---------------------
+
+AWS_ACCESS_KEY_ID = _register(InfoType(
+    "AWS_ACCESS_KEY_ID",
+    r"\b(?:AKIA|ASIA|ABIA|ACCA)[0-9A-Z]{16}\b",
+    description="AWS access key id",
+))
+
+AWS_SECRET_ACCESS_KEY = _register(InfoType(
+    "AWS_SECRET_ACCESS_KEY",
+    r"aws[_\-.]?(?:secret[_\-.]?)?(?:access[_\-.]?)?key(?:[_\-.]?id)?\s*[=:]\s*[\"']?([A-Za-z0-9/+=]{40})[\"']?",
+    flags=re.IGNORECASE,
+    description="40-char AWS secret with assignment context",
+))
+
+GCP_API_KEY = _register(InfoType(
+    "GCP_API_KEY",
+    r"\bAIza[0-9A-Za-z\-_]{35}\b",
+    description="Google API key",
+))
+
+GCP_SERVICE_ACCOUNT_KEY = _register(InfoType(
+    "GCP_SERVICE_ACCOUNT_KEY",
+    r"\"type\"\s*:\s*\"service_account\"",
+    description="GCP service-account JSON marker",
+))
+
+PRIVATE_KEY_BLOCK = _register(InfoType(
+    "PRIVATE_KEY_BLOCK",
+    r"-----BEGIN (?:RSA |EC |DSA |OPENSSH |PGP )?PRIVATE KEY(?: BLOCK)?-----"
+    r"[\s\S]{0,4096}?-----END (?:RSA |EC |DSA |OPENSSH |PGP )?PRIVATE KEY(?: BLOCK)?-----",
+    description="PEM private-key block",
+))
+
+JSON_WEB_TOKEN = _register(InfoType(
+    "JSON_WEB_TOKEN",
+    r"\beyJ[A-Za-z0-9_\-]{10,}\.[A-Za-z0-9_\-]{10,}\.[A-Za-z0-9_\-]{10,}\b",
+    description="JWT (three base64url segments, eyJ header)",
+))
+
+PASSWORD_IN_URL = _register(InfoType(
+    "PASSWORD_IN_URL",
+    r"\b[a-z][a-z0-9+.\-]*://[^\s/@:]+:([^\s/@]+)@",
+    flags=re.IGNORECASE,
+    description="userinfo password inside a URL",
+))
+
+PASSWORD_ASSIGNMENT = _register(InfoType(
+    "PASSWORD_ASSIGNMENT",
+    r"\b(?:password|passwd|pwd|secret|token|api[_\-]?key)\b\s*[=:]\s*[\"']([^\"'\s]{6,})[\"']",
+    flags=re.IGNORECASE,
+    description="password/secret/token literal assignment",
+))
+
+GITHUB_TOKEN = _register(InfoType(
+    "GITHUB_TOKEN",
+    r"\bgh[pousr]_[A-Za-z0-9]{36,255}\b",
+    description="GitHub personal-access/oauth token",
+))
+
+SLACK_TOKEN = _register(InfoType(
+    "SLACK_TOKEN",
+    r"\bxox[baprs]-[A-Za-z0-9\-]{10,}\b",
+    description="Slack token",
+))
+
+IBAN_CODE = _register(InfoType(
+    "IBAN_CODE",
+    r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b",
+    validator=lambda s: _iban_ok(s),
+    description="IBAN with mod-97 check",
+))
+
+
+def _iban_ok(s: str) -> bool:
+    s = s.replace(" ", "")
+    if not (15 <= len(s) <= 34):
+        return False
+    r = s[4:] + s[:4]
+    num = "".join(str(int(c, 36)) for c in r)
+    return int(num) % 97 == 1
+
+
+# ---------------------------------------------------------------------------
+# Composite groups (ref: SensitiveDataMapping.java:38-143)
+# ---------------------------------------------------------------------------
+# The reference's 9 sensitive-data groups, expanded to the deterministic
+# detectors above. INSURANCE is an empty list in the reference too
+# (SensitiveDataMapping.java:141-143). Extra CREDENTIAL group covers the
+# engine's source-code domain.
+
+SENSITIVE_GROUPS: dict[str, list[str]] = {
+    "DEMOGRAPHIC": ["EMAIL_ADDRESS", "PHONE_NUMBER", "DATE_OF_BIRTH"],
+    "LOCATION": ["STREET_ADDRESS", "IP_ADDRESS"],
+    "TAX": [
+        "US_SOCIAL_SECURITY_NUMBER",
+        "US_INDIVIDUAL_TAXPAYER_IDENTIFICATION_NUMBER",
+    ],
+    "CREDIT_CARD": ["CREDIT_CARD_NUMBER", "IBAN_CODE"],
+    "PASSPORT": ["US_PASSPORT"],
+    "HEALTH": ["US_HEALTHCARE_NPI"],
+    "NATIONAL_ID": ["US_SOCIAL_SECURITY_NUMBER"],
+    "DRIVER_LICENSE": ["US_DRIVERS_LICENSE_NUMBER"],
+    "INSURANCE": [],
+    "CREDENTIAL": [
+        "AWS_ACCESS_KEY_ID",
+        "AWS_SECRET_ACCESS_KEY",
+        "GCP_API_KEY",
+        "GCP_SERVICE_ACCOUNT_KEY",
+        "PRIVATE_KEY_BLOCK",
+        "JSON_WEB_TOKEN",
+        "PASSWORD_IN_URL",
+        "PASSWORD_ASSIGNMENT",
+        "GITHUB_TOKEN",
+        "SLACK_TOKEN",
+    ],
+}
+
+
+def expand_groups(filters: list[str]) -> list[str]:
+    """Composite groups -> concrete infoType names
+    (ref SensitiveDataMapping.java:153-166). Accepts group names and/or
+    concrete infoType names; preserves order, dedups."""
+    out: list[str] = []
+    for f in filters:
+        f = f.strip().upper()
+        names = SENSITIVE_GROUPS.get(f, [f] if f in INFO_TYPES else None)
+        if names is None:
+            raise ValueError(f"unknown sensitivity filter or infoType: {f!r}")
+        for n in names:
+            if n not in out:
+                out.append(n)
+    return out
+
+
+def union_pattern(names: list[str]) -> str:
+    """Single alternation regex for fast vectorized 'any finding?' checks.
+
+    Validator-bearing detectors still match here (superset); exact
+    routing uses ``detect`` below. Good enough when the caller only needs
+    a cheap prefilter — the splitter runs the validated pass after.
+    """
+    if not names:
+        raise ValueError("no infoTypes to compile")
+    parts = []
+    for n in names:
+        it = INFO_TYPES[n]
+        grp = "?i:" if it.flags & re.IGNORECASE else "?:"
+        parts.append(f"({grp}{it.pattern})")
+    return "|".join(parts)
+
+
+def detect(text: str, names: list[str]) -> dict[str, list[tuple[int, int]]]:
+    """Validated findings per infoType (inspectContent equivalent)."""
+    if text is None:
+        return {}
+    out = {}
+    for n in names:
+        spans = INFO_TYPES[n].findall(text)
+        if spans:
+            out[n] = spans
+    return out
+
+
+def has_findings(text: str, names: list[str]) -> bool:
+    if text is None:
+        return False
+    return any(INFO_TYPES[n].findall(text) for n in names)

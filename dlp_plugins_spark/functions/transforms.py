@@ -1,0 +1,468 @@
+"""The 7 primitive value transforms, as vectorized pandas kernels.
+
+Reference registry: DlpFieldTransformationConfigCodec.java:34-42 —
+MASKING, REPLACE_VALUE, REDACT, CRYPTO_HASH, DATE_SHIFT,
+FORMAT_PRESERVING_ENCRYPTION, DETERMINISTIC_ENCRYPTION. Each reference
+config implements toPrimitiveTransform()/validate()/getSupportedTypes()
+(DlpTransformConfig.java:30-64); here each transform is a *kernel
+factory* producing ``(values: pd.Series, context: pd.Series|None) ->
+pd.Series`` closures, applied either to whole cell values (reference:
+filters contain NONE -> PrimitiveTransformation,
+DlpFieldTransformationConfig.java:69-70) or only to substrings matched
+by configured infoTypes (InfoTypeTransformations, :73-83).
+
+Kernels never touch Spark: the operator layer wraps them in Arrow-batched
+pandas UDFs. Hot paths are pandas ``str`` ops / ``str.translate``;
+crypto-bearing transforms run ``re.sub`` callbacks on *matching rows
+only* (matches are sparse in real corpora).
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from dataclasses import dataclass
+
+import pandas as pd
+
+from dlp_plugins_spark.functions import crypto
+from dlp_plugins_spark.functions.detectors import INFO_TYPES
+
+# ref widget charsToIgnoreEnum values
+# (widgets/SensitiveRecordRedaction-transform.json:148-181)
+CHAR_CLASSES = {
+    "NUMERIC": set("0123456789"),
+    "ALPHA_UPPER_CASE": set(string.ascii_uppercase),
+    "ALPHA_LOWER_CASE": set(string.ascii_lowercase),
+    "PUNCTUATION": set(string.punctuation),
+    "WHITESPACE": set(string.whitespace),
+}
+
+TRANSFORM_NAMES = (
+    "MASKING",
+    "REPLACE_VALUE",
+    "REDACT",
+    "CRYPTO_HASH",
+    "DATE_SHIFT",
+    "FORMAT_PRESERVING_ENCRYPTION",
+    "DETERMINISTIC_ENCRYPTION",
+)
+
+
+# ---------------------------------------------------------------------------
+# scalar helpers
+# ---------------------------------------------------------------------------
+
+def mask_text(
+    value: str,
+    masking_char: str = "*",
+    number_to_mask: int = 0,
+    reverse_order: bool = False,
+    ignore: set[str] | None = None,
+) -> str:
+    """Character masking (ref MaskingTransformConfig.java:43-62 semantics):
+    mask every non-ignored char; if ``number_to_mask`` > 0, mask only that
+    many maskable chars from the start (end if ``reverse_order``)."""
+    ignore = ignore or set()
+    if number_to_mask <= 0 and not ignore:
+        return masking_char * len(value)
+    chars = list(value)
+    idxs = range(len(chars) - 1, -1, -1) if reverse_order else range(len(chars))
+    left = number_to_mask if number_to_mask > 0 else len(chars)
+    for i in idxs:
+        if left <= 0:
+            break
+        if chars[i] in ignore:
+            continue
+        chars[i] = masking_char
+        left -= 1
+    return "".join(chars)
+
+
+def _match_regex(info_types: list[str]) -> re.Pattern:
+    pats = []
+    for n in info_types:
+        it = INFO_TYPES[n]
+        grp = "?i:" if it.flags & re.IGNORECASE else "?:"
+        pats.append(f"({grp}{it.pattern})")
+    return re.compile("|".join(pats))
+
+
+def _validators(info_types: list[str]):
+    """Per-match validation: a match is a finding if ANY selected detector
+    validates it (plain-regex detectors validate trivially)."""
+    checks = [
+        (INFO_TYPES[n].regex, INFO_TYPES[n].validator) for n in info_types
+    ]
+
+    def ok(text: str) -> bool:
+        for rx, val in checks:
+            if rx.fullmatch(text):
+                if val is None or val(text):
+                    return True
+        return False
+
+    return ok
+
+
+def _per_match_apply(values: pd.Series, rx: re.Pattern, valid, fn) -> pd.Series:
+    """Apply ``fn(matched_text) -> str`` to validated matches; fast path
+    skips rows with no raw regex hit."""
+    hit = values.str.contains(rx, na=False)
+    if not hit.any():
+        return values
+    def sub_one(text: str) -> str:
+        return rx.sub(
+            lambda m: fn(m.group(0)) if valid(m.group(0)) else m.group(0), text
+        )
+    out = values.copy()
+    out[hit] = values[hit].map(sub_one)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# kernel factories — each returns (values, context) -> values'
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Kernel:
+    """A compiled transform kernel plus metadata for plan validation."""
+
+    name: str
+    fn: object  # (pd.Series, pd.Series|None) -> pd.Series
+    supported_types: tuple[str, ...] = ("string",)
+    required_cols: tuple[str, ...] = ()
+
+    def __call__(self, values: pd.Series, context: pd.Series | None = None):
+        return self.fn(values, context)
+
+
+def masking(
+    masking_char: str = "*",
+    number_to_mask: int = 0,
+    reverse_order: bool = False,
+    chars_to_ignore: list[str] | None = None,
+    info_types: list[str] | None = None,
+) -> Kernel:
+    """MASKING (ref MaskingTransformConfig.java:33-91)."""
+    if len(masking_char) != 1:
+        raise ValueError("maskingChar must be exactly one character")
+    ignore: set[str] = set()
+    for c in chars_to_ignore or []:
+        ignore |= CHAR_CLASSES.get(c, set(c))
+
+    if info_types:
+        rx, valid = _match_regex(info_types), _validators(info_types)
+
+        def fn(values: pd.Series, _ctx=None) -> pd.Series:
+            return _per_match_apply(
+                values, rx, valid,
+                lambda t: mask_text(t, masking_char, number_to_mask,
+                                    reverse_order, ignore),
+            )
+    elif number_to_mask <= 0:
+        # whole-value, unbounded: vectorized str.translate
+        keep = {ord(c): c for c in ignore}
+
+        def fn(values: pd.Series, _ctx=None) -> pd.Series:
+            def tr(v: str) -> str:
+                return "".join(keep.get(ord(c), masking_char) for c in v)
+            return values.map(tr, na_action="ignore")
+    else:
+        def fn(values: pd.Series, _ctx=None) -> pd.Series:
+            return values.map(
+                lambda v: mask_text(v, masking_char, number_to_mask,
+                                    reverse_order, ignore),
+                na_action="ignore",
+            )
+    return Kernel("MASKING", fn)
+
+
+def replace_value(new_value: str, info_types: list[str] | None = None) -> Kernel:
+    """REPLACE_VALUE (ref ReplaceValueTransformConfig.java:33-59)."""
+    if new_value is None:
+        raise ValueError("newValue is required")
+    if info_types:
+        rx, valid = _match_regex(info_types), _validators(info_types)
+
+        def fn(values: pd.Series, _ctx=None) -> pd.Series:
+            return _per_match_apply(values, rx, valid, lambda _t: new_value)
+    else:
+        def fn(values: pd.Series, _ctx=None) -> pd.Series:
+            out = values.copy()
+            out[values.notna()] = new_value
+            return out
+    return Kernel("REPLACE_VALUE", fn)
+
+
+def redact(info_types: list[str] | None = None) -> Kernel:
+    """REDACT — delete matched text (ref RedactTransformConfig.java:30-48)."""
+    if info_types:
+        rx, valid = _match_regex(info_types), _validators(info_types)
+
+        def fn(values: pd.Series, _ctx=None) -> pd.Series:
+            return _per_match_apply(values, rx, valid, lambda _t: "")
+    else:
+        def fn(values: pd.Series, _ctx=None) -> pd.Series:
+            out = values.copy()
+            out[values.notna()] = ""
+            return out
+    return Kernel("REDACT", fn)
+
+
+def crypto_hash(key: bytes, info_types: list[str] | None = None) -> Kernel:
+    """CRYPTO_HASH — HMAC-SHA-256 hex
+    (ref CryptoHashTransformationConfig.java:32-71)."""
+    if info_types:
+        rx, valid = _match_regex(info_types), _validators(info_types)
+
+        def fn(values: pd.Series, _ctx=None) -> pd.Series:
+            return _per_match_apply(
+                values, rx, valid, lambda t: crypto.crypto_hash(t, key)
+            )
+    else:
+        def fn(values: pd.Series, _ctx=None) -> pd.Series:
+            return values.map(
+                lambda v: crypto.crypto_hash(v, key), na_action="ignore"
+            )
+    return Kernel("CRYPTO_HASH", fn)
+
+
+def date_shift(
+    key: bytes, lower_bound_days: int, upper_bound_days: int,
+    context_field: str | None = None,
+) -> Kernel:
+    """DATE_SHIFT, determinized (ref DateShiftTransformationConfig.java:31-91).
+
+    Shift is keyed on the context column when configured (mirrors DLP's
+    context-keyed shift) else constant per key — never random, so replay
+    hashes reproduce."""
+    # bounds validated eagerly, mirroring reference validate()
+    crypto.date_shift_days("", key, lower_bound_days, upper_bound_days)
+
+    def fn(values: pd.Series, ctx: pd.Series | None = None) -> pd.Series:
+        if ctx is not None:
+            days = ctx.astype("string").fillna("").map(
+                lambda c: crypto.date_shift_days(
+                    c, key, lower_bound_days, upper_bound_days
+                )
+            )
+            delta = pd.to_timedelta(days.astype("int64"), unit="D")
+            delta.index = values.index
+        else:
+            d = crypto.date_shift_days("", key, lower_bound_days, upper_bound_days)
+            delta = pd.to_timedelta(d, unit="D")
+        if values.dtype == object:  # DateType arrives as datetime.date objects
+            shifted = pd.to_datetime(values) + delta
+            return pd.Series(shifted.dt.date, index=values.index)
+        return values + delta
+
+    return Kernel(
+        "DATE_SHIFT", fn,
+        supported_types=("date", "timestamp"),
+        required_cols=(context_field,) if context_field else (),
+    )
+
+
+def fpe(
+    key: bytes,
+    alphabet: str = "ALPHA_NUMERIC",
+    custom_alphabet: str | None = None,
+    surrogate: str | None = None,
+    context_field: str | None = None,
+    info_types: list[str] | None = None,
+) -> Kernel:
+    """FORMAT_PRESERVING_ENCRYPTION — FF1
+    (ref CryptoReplaceFfxFpeTransformationConfig.java:40-124).
+
+    Matched text must lie in the alphabet and meet FF1's min length;
+    non-conforming matches pass through unchanged (DLP would error the
+    record; the engine's error routing handles strictness instead)."""
+    alpha = (
+        custom_alphabet if alphabet == "CUSTOM" else crypto.ALPHABETS[alphabet]
+    )
+    if alphabet == "CUSTOM" and not (2 <= len(alpha or "") <= 95):
+        # ref :92-100 custom alphabet 2..95 chars
+        raise ValueError("custom alphabet must be 2-95 characters")
+    if surrogate and not crypto.SURROGATE_NAME_RE.match(surrogate):
+        raise ValueError("surrogate name must match [a-zA-Z0-9_]{1,64}")
+    alpha_set = set(alpha)
+
+    def enc_factory(tweak: str):
+        ff1 = crypto.FF1(key, alpha, tweak=tweak.encode("utf-8"))
+
+        def enc(t: str) -> str:
+            if len(t) < ff1.minlen or not set(t) <= alpha_set:
+                return t
+            ct = ff1.encrypt(t)
+            return crypto.make_surrogate(surrogate, ct) if surrogate else ct
+
+        return enc
+
+    def apply_with_tweak(values: pd.Series, tweaks: pd.Series | None):
+        if info_types:
+            rx, valid = _match_regex(info_types), _validators(info_types)
+            if tweaks is None:
+                return _per_match_apply(values, rx, valid, enc_factory(""))
+            out = values.copy()
+            mask = values.notna()
+            out[mask] = [
+                rx.sub(lambda m, e=enc_factory(str(tw) if tw is not None else ""):
+                       e(m.group(0)) if valid(m.group(0)) else m.group(0), v)
+                for v, tw in zip(values[mask], (tweaks[mask]))
+            ]
+            return out
+        if tweaks is None:
+            enc = enc_factory("")
+            return values.map(enc, na_action="ignore")
+        out = values.copy()
+        mask = values.notna()
+        out[mask] = [
+            enc_factory(str(tw) if tw is not None else "")(v)
+            for v, tw in zip(values[mask], tweaks[mask])
+        ]
+        return out
+
+    def fn(values: pd.Series, ctx: pd.Series | None = None) -> pd.Series:
+        return apply_with_tweak(values, ctx)
+
+    return Kernel(
+        "FORMAT_PRESERVING_ENCRYPTION", fn,
+        required_cols=(context_field,) if context_field else (),
+    )
+
+
+def deterministic_encryption(
+    key: bytes,
+    surrogate: str,
+    context_field: str | None = None,
+    info_types: list[str] | None = None,
+) -> Kernel:
+    """DETERMINISTIC_ENCRYPTION — AES-SIV + surrogate
+    (ref CryptoDeterministicTransformationConfig.java:37-99)."""
+    if not crypto.SURROGATE_NAME_RE.match(surrogate or ""):
+        # ref :74-76 surrogate name validation
+        raise ValueError("surrogate name must match [a-zA-Z0-9_]{1,64}")
+
+    def enc_factory(context: str):
+        def enc(t: str) -> str:
+            return crypto.det_encrypt(t, key, surrogate, context)
+        return enc
+
+    def fn(values: pd.Series, ctx: pd.Series | None = None) -> pd.Series:
+        if info_types:
+            rx, valid = _match_regex(info_types), _validators(info_types)
+            if ctx is None:
+                return _per_match_apply(values, rx, valid, enc_factory(""))
+            out = values.copy()
+            mask = values.notna()
+            out[mask] = [
+                rx.sub(lambda m, e=enc_factory(str(tw) if tw is not None else ""):
+                       e(m.group(0)) if valid(m.group(0)) else m.group(0), v)
+                for v, tw in zip(values[mask], ctx[mask])
+            ]
+            return out
+        if ctx is None:
+            enc = enc_factory("")
+            return values.map(enc, na_action="ignore")
+        out = values.copy()
+        mask = values.notna()
+        out[mask] = [
+            enc_factory(str(tw) if tw is not None else "")(v)
+            for v, tw in zip(values[mask], ctx[mask])
+        ]
+        return out
+
+    return Kernel(
+        "DETERMINISTIC_ENCRYPTION", fn,
+        required_cols=(context_field,) if context_field else (),
+    )
+
+
+# ---------------------------------------------------------------------------
+# inverse kernels (decrypt / re-identify path, ref SensitiveRecordDecrypt)
+# ---------------------------------------------------------------------------
+
+def det_decrypt(key: bytes, surrogate: str, context_field: str | None = None) -> Kernel:
+    """Re-identify DETERMINISTIC_ENCRYPTION surrogates
+    (ref SensitiveRecordDecrypt.java:163-212)."""
+
+    def fn(values: pd.Series, ctx: pd.Series | None = None) -> pd.Series:
+        def dec_one(text: str, context: str) -> str:
+            spans = crypto.find_surrogates(text, surrogate)
+            if not spans:
+                return text
+            out, pos = [], 0
+            for s, e, payload in spans:
+                out.append(text[pos:s])
+                try:
+                    out.append(crypto.det_decrypt_payload(payload, key, context))
+                except Exception:
+                    out.append(text[s:e])  # not ours / tampered: pass through
+                pos = e
+            out.append(text[pos:])
+            return "".join(out)
+
+        mask = values.notna()
+        out = values.copy()
+        if ctx is None:
+            out[mask] = values[mask].map(lambda v: dec_one(v, ""))
+        else:
+            out[mask] = [
+                dec_one(v, str(tw) if tw is not None else "")
+                for v, tw in zip(values[mask], ctx[mask])
+            ]
+        return out
+
+    return Kernel(
+        "DETERMINISTIC_DECRYPTION", fn,
+        required_cols=(context_field,) if context_field else (),
+    )
+
+
+def fpe_decrypt(
+    key: bytes,
+    alphabet: str = "ALPHA_NUMERIC",
+    custom_alphabet: str | None = None,
+    surrogate: str | None = None,
+    context_field: str | None = None,
+) -> Kernel:
+    """Re-identify FPE surrogates (ref SensitiveRecordDecrypt.java:163-212)."""
+    alpha = (
+        custom_alphabet if alphabet == "CUSTOM" else crypto.ALPHABETS[alphabet]
+    )
+    if not surrogate:
+        raise ValueError("decrypt requires a surrogateInfoTypeName")
+
+    def fn(values: pd.Series, ctx: pd.Series | None = None) -> pd.Series:
+        def dec_one(text: str, context: str) -> str:
+            spans = crypto.find_surrogates(text, surrogate)
+            if not spans:
+                return text
+            ff1 = crypto.FF1(key, alpha, tweak=context.encode("utf-8"))
+            out, pos = [], 0
+            for s, e, payload in spans:
+                out.append(text[pos:s])
+                try:
+                    out.append(ff1.decrypt(payload))
+                except Exception:
+                    out.append(text[s:e])
+                pos = e
+            out.append(text[pos:])
+            return "".join(out)
+
+        mask = values.notna()
+        out = values.copy()
+        if ctx is None:
+            out[mask] = values[mask].map(lambda v: dec_one(v, ""))
+        else:
+            out[mask] = [
+                dec_one(v, str(tw) if tw is not None else "")
+                for v, tw in zip(values[mask], ctx[mask])
+            ]
+        return out
+
+    return Kernel(
+        "FPE_DECRYPTION", fn,
+        required_cols=(context_field,) if context_field else (),
+    )

@@ -1,0 +1,55 @@
+"""Re-identify operator — the engine's SensitiveRecordDecrypt.
+
+Reference behavior (SensitiveRecordDecrypt.java:148-212): build surrogate
+CustomInfoTypes from the FPE / deterministic-encryption configs
+(:163-191) and call DLP ``reidentifyContent`` (:197) to restore
+plaintext. Only FORMAT_PRESERVING_ENCRYPTION and DETERMINISTIC_ENCRYPTION
+are reversible (widgets/SensitiveRecordDecrypt-transform.json:106,299).
+
+Engine behavior: surrogate tokens ``NAME(len):payload`` are located by a
+compiled regex inside a pandas UDF; payloads are FF1- or AES-SIV-
+decrypted and spliced back. Unknown/tampered payloads pass through
+unchanged (the engine's skip-on-error analogue)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from dlp_plugins_spark.functions import transforms as K
+from dlp_plugins_spark.operators.redaction import _kernel_udf
+from dlp_plugins_spark.plans.spec import TransformPlan
+
+
+def apply_decrypt(df: DataFrame, spec) -> DataFrame:
+    """Reverse FPE / deterministic-encryption entries of a transform plan.
+
+    ``spec`` uses the same shape as the forward plan; only the two
+    reversible transforms are honored (mirroring the decrypt widget)."""
+    plan = spec if isinstance(spec, TransformPlan) else TransformPlan.parse(spec)
+    for e in plan.entries:
+        p = e.properties
+        key = TransformPlan._key_of(e)
+        ctx = p.get("context")
+        if e.transform == "DETERMINISTIC_ENCRYPTION":
+            kern = K.det_decrypt(key, p.get("surrogateInfoTypeName", ""),
+                                 context_field=ctx)
+        elif e.transform == "FORMAT_PRESERVING_ENCRYPTION":
+            kern = K.fpe_decrypt(
+                key,
+                alphabet=p.get("alphabet", "ALPHA_NUMERIC"),
+                custom_alphabet=p.get("customAlphabet"),
+                surrogate=p.get("surrogateInfoTypeName"),
+                context_field=ctx,
+            )
+        else:
+            # ref decrypt widget exposes only the two reversible transforms
+            raise ValueError(
+                f"transform {e.transform} is not reversible; decrypt supports "
+                "FORMAT_PRESERVING_ENCRYPTION and DETERMINISTIC_ENCRYPTION"
+            )
+        udf = _kernel_udf(kern, "string", bool(ctx))
+        for fname in e.fields:
+            args = [F.col(fname)] + ([F.col(ctx)] if ctx else [])
+            df = df.withColumn(fname, udf(*args))
+    return df

@@ -1,0 +1,137 @@
+"""PII splitter operator — the engine's SensitiveRecordFilter.
+
+Reference behavior (SensitiveRecordFilter.java:165-222): inspect one
+field (or the whole record serialized as comma-delimited text,
+StructuredRecordStringConverter, :172) via DLP ``inspectContent``;
+findings > 0 routes the record to the ``Sensitive`` port, else
+``Non-Sensitive`` (:197-202); failures follow the on-error mode
+stop / skip / error-port (:214-220, :351-358). Only basic types are
+allowed for the target field (:400-407 rejects BYTES).
+
+Engine behavior: the predicate is computed ONCE into a boolean column by
+a vectorized pandas UDF (prefilter with a single union regex, then
+validator pass on hits only); the two ports are two ``filter`` branches
+over the same cached predicate column, so one scan feeds both sinks.
+Whole-record mode serializes with ``concat_ws`` JVM-side — Python sees
+only the already-joined string.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from dlp_plugins_spark.functions.detectors import (
+    INFO_TYPES,
+    expand_groups,
+    union_pattern,
+)
+
+_BASIC = {"string", "int", "bigint", "boolean", "float", "double"}
+
+SENSITIVE_PORT = "Sensitive"
+NON_SENSITIVE_PORT = "Non-Sensitive"
+
+
+@dataclass
+class SplitResult:
+    sensitive: DataFrame
+    non_sensitive: DataFrame
+    errors: DataFrame  # quarantine port (on_error='error-port')
+
+
+def sensitivity_predicate(filters: list[str]):
+    """Build a vectorized Series[str] -> Series[bool] detector."""
+    names = expand_groups(filters)
+    if not names:
+        raise ValueError("entire filter list expands to no infoTypes")
+    union = re.compile(union_pattern(names))
+    validated = [
+        (INFO_TYPES[n].regex, INFO_TYPES[n].validator)
+        for n in names
+        if INFO_TYPES[n].validator is not None
+    ]
+    plain = [INFO_TYPES[n].regex for n in names if INFO_TYPES[n].validator is None]
+
+    def predicate(s: pd.Series) -> pd.Series:
+        hit = s.str.contains(union, na=False)
+        if not validated or not hit.any():
+            return hit
+        # rows whose only hits come from validator-bearing detectors need
+        # the validated pass; rows hitting a plain detector are sensitive.
+        def check(text: str) -> bool:
+            for rx in plain:
+                if rx.search(text):
+                    return True
+            for rx, val in validated:
+                for m in rx.finditer(text):
+                    if val(m.group(0)):
+                        return True
+            return False
+
+        out = hit.copy()
+        out[hit] = s[hit].map(check)
+        return out
+
+    return predicate
+
+
+def split_sensitive(
+    df: DataFrame,
+    filters: list[str],
+    field: str | None = None,
+    on_error: str = "stop",  # stop | skip | error-port (ref :351-358)
+) -> SplitResult:
+    """Route rows by PII findings. ``field=None`` inspects the whole record
+    (reference's entire-record mode)."""
+    if field is not None:
+        ftype = dict(df.dtypes).get(field)
+        if ftype is None:
+            raise ValueError(f"field {field!r} not in schema")
+        if ftype not in _BASIC:
+            # ref SensitiveRecordFilter.java:400-407
+            raise ValueError(
+                f"filter supports only basic types, {field!r} is {ftype}"
+            )
+        target = F.col(field).cast("string")
+    else:
+        # whole record as comma-delimited text, JVM-side
+        target = F.concat_ws(",", *[F.col(c).cast("string") for c in df.columns])
+
+    predicate = sensitivity_predicate(filters)
+
+    @F.pandas_udf("boolean")
+    def is_sensitive(s: pd.Series) -> pd.Series:
+        return predicate(s)
+
+    flagged = df.withColumn("_sensitive", is_sensitive(target))
+    sensitive = flagged.filter(F.col("_sensitive")).drop("_sensitive")
+    non_sensitive = flagged.filter(~F.col("_sensitive")).drop("_sensitive")
+    errors = df.limit(0)  # detection kernels are total functions over strings
+    return SplitResult(sensitive, non_sensitive, errors)
+
+
+def count_findings(df: DataFrame, field: str, filters: list[str]) -> DataFrame:
+    """Per-infoType finding counts — the engine's metrics analogue of the
+    reference's dlp.requests.* counters (SensitiveRecordRedaction.java:178-189),
+    but per finding rather than per RPC."""
+    names = expand_groups(filters)
+
+    pats = {n: INFO_TYPES[n] for n in names}
+
+    @F.pandas_udf("map<string,int>")
+    def findings(s: pd.Series) -> pd.Series:
+        def per(text):
+            if text is None:
+                return {}
+            return {
+                n: len(it.findall(text))
+                for n, it in pats.items()
+                if it.findall(text)
+            }
+        return s.map(per)
+
+    return df.withColumn("_findings", findings(F.col(field).cast("string")))

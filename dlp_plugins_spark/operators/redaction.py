@@ -1,0 +1,78 @@
+"""De-identify operator — the engine's SensitiveRecordRedaction.
+
+Reference behavior (SensitiveRecordRedaction.java:148-193): per record,
+build the transform plan, send a 1-row table over gRPC to DLP
+``deidentifyContent``, rebuild the record. Output schema == input schema
+(:102-108).
+
+Engine behavior: the plan is compiled ONCE on the driver
+(plans/spec.py); each target column is rewritten by an Arrow-batched
+``pandas_udf`` so
+- Catalyst column pruning still works (only target + context columns
+  cross the JVM<->Python boundary; untouched columns never leave the JVM
+  — the moral equivalent of the reference's required-fields payload
+  pruning, DLPTransformPluginConfig.java:100-105);
+- the physical plan stays one stage: scan -> ArrowEvalPython -> project,
+  no shuffle, scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from dlp_plugins_spark.plans.spec import CompiledPlan, TransformPlan
+
+
+def compile_plan(spec, schema) -> CompiledPlan:
+    plan = spec if isinstance(spec, TransformPlan) else TransformPlan.parse(spec)
+    return plan.compile(schema)
+
+
+def _kernel_udf(kernel, out_type, with_context: bool):
+    """Wrap a pandas kernel in an Arrow-batched pandas_udf (factory form —
+    pandas_udf type-hint inference forbids extra default args)."""
+    if with_context:
+        @F.pandas_udf(out_type)
+        def _udf(values: pd.Series, ctx: pd.Series) -> pd.Series:
+            return kernel(values, ctx)
+    else:
+        @F.pandas_udf(out_type)
+        def _udf(values: pd.Series) -> pd.Series:
+            return kernel(values, None)
+    return _udf
+
+
+def apply_transforms(df: DataFrame, spec) -> DataFrame:
+    """Apply a transform plan; output schema == input schema
+    (the reference's shape-preserving invariant)."""
+    compiled = compile_plan(spec, df.schema)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    for step in compiled.steps:
+        udf = _kernel_udf(step.kernel, dtypes[step.field], bool(step.context))
+        args = [F.col(step.field)] + ([F.col(step.context)] if step.context else [])
+        df = df.withColumn(step.field, udf(*args))
+    return df
+
+
+# Convenience single-purpose wrappers ---------------------------------------
+
+def redact_info_types(df: DataFrame, field: str, filters: list[str]) -> DataFrame:
+    """Delete all matches of the given filter groups/infoTypes in a column."""
+    return apply_transforms(df, [{
+        "transform": "REDACT", "fields": [field], "filters": filters,
+    }])
+
+
+def mask_field(df: DataFrame, field: str, masking_char: str = "#",
+               number_to_mask: int = 0, reverse_order: bool = False,
+               chars_to_ignore: list[str] | None = None,
+               filters: list[str] | None = None) -> DataFrame:
+    return apply_transforms(df, [{
+        "transform": "MASKING", "fields": [field],
+        "filters": filters or ["NONE"],
+        "transformProperties": {
+            "maskingChar": masking_char, "numberToMask": number_to_mask,
+            "reverseOrder": reverse_order, "charsToIgnore": chars_to_ignore or [],
+        },
+    }])

@@ -1,0 +1,298 @@
+"""TransformSpec — the engine's declarative config IR.
+
+Mirrors the reference's ``fieldsToTransform`` JSON array: each entry
+names a transform, target fields, sensitivity filters, and per-transform
+properties (DLPTransformPluginConfig.java:85-92, custom Gson codec
+DlpFieldTransformationConfigCodec.java:44-70). Validation reproduces the
+deploy-time rules (DLPTransformPluginConfig.java:115-227,
+DlpFieldTransformationConfig.java:96-134):
+
+- every target field exists in the input schema and has a type the
+  transform supports;
+- filters are non-empty; ``NONE`` (whole-value) cannot be combined with
+  infoType filters on the same entry;
+- a (field, filter) pair maps to at most ONE transform;
+- crypto keys are well-formed (CryptoKeyHelper.java:86-134);
+- a custom template is mutually exclusive with built-in filters.
+
+Compilation happens ONCE on the driver; kernels close over key material
+and compiled regexes and are shipped to executors inside the pandas-UDF
+closure — fixing the reference's per-record plan rebuild anti-pattern
+(SensitiveRecordRedaction.java:149 re-parses config on every record).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import types as T
+
+from dlp_plugins_spark.functions import transforms as K
+from dlp_plugins_spark.functions.crypto import resolve_key
+from dlp_plugins_spark.functions.detectors import INFO_TYPES, expand_groups
+
+_STRING_ONLY = ("string",)
+_TEMPORAL = ("date", "timestamp")
+
+# transform -> supported Spark simple type names
+# (ref *TransformConfig.getSupportedTypes; see SURVEY.md §1.2)
+SUPPORTED_TYPES: dict[str, tuple[str, ...]] = {
+    "MASKING": _STRING_ONLY,
+    "REPLACE_VALUE": _STRING_ONLY,
+    "REDACT": _STRING_ONLY,
+    "CRYPTO_HASH": _STRING_ONLY,
+    "DATE_SHIFT": _TEMPORAL,
+    "FORMAT_PRESERVING_ENCRYPTION": _STRING_ONLY,
+    "DETERMINISTIC_ENCRYPTION": _STRING_ONLY,
+}
+
+
+class SpecValidationError(ValueError):
+    """Raised at plan-compile time, before any Spark job starts
+    (the engine's FailureCollector.getOrThrowException equivalent)."""
+
+
+@dataclass
+class FieldTransformSpec:
+    """One entry of the transform plan (ref DlpFieldTransformationConfig)."""
+
+    transform: str
+    fields: list[str]
+    filters: list[str] = dc_field(default_factory=lambda: ["NONE"])
+    properties: dict = dc_field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "FieldTransformSpec":
+        fields = d.get("fields", [])
+        filters = d.get("filters", ["NONE"])
+        if isinstance(fields, str):  # reference uses comma-separated strings
+            fields = [f.strip() for f in fields.split(",") if f.strip()]
+        if isinstance(filters, str):
+            filters = [f.strip() for f in filters.split(",") if f.strip()]
+        return cls(
+            transform=d.get("transform", "").strip().upper(),
+            fields=fields,
+            filters=filters,
+            properties=d.get("transformProperties", d.get("properties", {})),
+        )
+
+    @property
+    def whole_value(self) -> bool:
+        # ref DlpFieldTransformationConfig.java:69-70: filters contain NONE
+        return any(f.strip().upper() == "NONE" for f in self.filters)
+
+    def info_types(self) -> list[str]:
+        if self.whole_value:
+            return []
+        return expand_groups(self.filters)
+
+
+@dataclass
+class TransformPlan:
+    """Parsed plan: entries + optional custom template (detector set)."""
+
+    entries: list[FieldTransformSpec]
+    custom_template: dict[str, str] | None = None  # name -> regex
+
+    @classmethod
+    def parse(cls, spec) -> "TransformPlan":
+        """Accept a JSON string, a list of dicts, or a dict with
+        ``fieldsToTransform`` / ``customTemplate`` keys."""
+        if isinstance(spec, str):
+            spec = json.loads(spec)
+        template = None
+        if isinstance(spec, dict):
+            template = spec.get("customTemplate")
+            spec = spec.get("fieldsToTransform", [])
+        entries = [
+            e if isinstance(e, FieldTransformSpec) else FieldTransformSpec.from_dict(e)
+            for e in spec
+        ]
+        return cls(entries=entries, custom_template=template)
+
+    # -- validation ---------------------------------------------------------
+    def validate(self, schema: T.StructType) -> None:
+        errors: list[str] = []
+        type_of = {f.name: f.dataType.simpleString() for f in schema.fields}
+        seen: dict[tuple[str, str], str] = {}
+        for i, e in enumerate(self.entries):
+            where = f"entry {i} ({e.transform})"
+            if e.transform not in SUPPORTED_TYPES:
+                errors.append(f"{where}: unknown transform {e.transform!r}")
+                continue
+            if not e.fields:
+                errors.append(f"{where}: no target fields")
+            if not e.filters:
+                # ref DLPTransformPluginConfig.java:173-180 filter required
+                errors.append(f"{where}: filters must be non-empty")
+            if e.whole_value and len(e.filters) > 1:
+                errors.append(
+                    f"{where}: NONE filter cannot be combined with infoTypes"
+                )
+            if self.custom_template is not None and not e.whole_value:
+                # ref :148-171 — built-in filters XOR custom template
+                for f in e.filters:
+                    if f.upper() in ("CUSTOM",):
+                        continue
+                    errors.append(
+                        f"{where}: built-in filter {f!r} cannot be mixed "
+                        "with a custom template"
+                    )
+                    break
+            try:
+                its = e.info_types() if not e.whole_value else []
+            except ValueError as exc:
+                errors.append(f"{where}: {exc}")
+                its = []
+            for name in its:
+                if name not in INFO_TYPES:
+                    errors.append(f"{where}: unknown infoType {name}")
+            for fname in e.fields:
+                if fname not in type_of:
+                    # ref DlpFieldTransformationConfig.java:107-114
+                    errors.append(f"{where}: field {fname!r} not in schema")
+                    continue
+                st = type_of[fname]
+                ok_types = SUPPORTED_TYPES[e.transform]
+                if st not in ok_types:
+                    # ref :115-126 unsupported type
+                    errors.append(
+                        f"{where}: field {fname!r} has type {st}, "
+                        f"supported: {ok_types}"
+                    )
+                # ref DLPTransformPluginConfig.java:182-199 —
+                # unique (field, filter) -> transform
+                for filt in e.filters:
+                    k = (fname, filt.strip().upper())
+                    if k in seen and seen[k] != e.transform:
+                        errors.append(
+                            f"{where}: (field={fname!r}, filter={filt!r}) "
+                            f"already targeted by {seen[k]}"
+                        )
+                    seen.setdefault(k, e.transform)
+            ctx = e.properties.get("context")
+            if ctx and ctx not in type_of:
+                errors.append(f"{where}: context field {ctx!r} not in schema")
+            try:
+                self._key_of(e)  # validates key material shape
+            except ValueError as exc:
+                if e.transform in (
+                    "CRYPTO_HASH",
+                    "DATE_SHIFT",
+                    "FORMAT_PRESERVING_ENCRYPTION",
+                    "DETERMINISTIC_ENCRYPTION",
+                ):
+                    errors.append(f"{where}: {exc}")
+        if errors:
+            raise SpecValidationError("; ".join(errors))
+
+    @staticmethod
+    def _key_of(e: FieldTransformSpec) -> bytes:
+        p = e.properties
+        if e.transform in (
+            "CRYPTO_HASH",
+            "DATE_SHIFT",
+            "FORMAT_PRESERVING_ENCRYPTION",
+            "DETERMINISTIC_ENCRYPTION",
+        ):
+            return resolve_key(
+                p.get("keyType", "TRANSIENT"),
+                name=p.get("name", "engine-default"),
+                key=p.get("key"),
+                crypto_key_name=p.get("cryptoKeyName"),
+                wrapped_key=p.get("wrappedKey"),
+            )
+        return b""
+
+    # -- compile ------------------------------------------------------------
+    def compile(self, schema: T.StructType) -> "CompiledPlan":
+        """Validate, then build kernels. Returns the executable plan."""
+        self.validate(schema)
+        steps: list[CompiledStep] = []
+        for e in self.entries:
+            its = None if e.whole_value else e.info_types()
+            p = e.properties
+            key = self._key_of(e)
+            ctx = p.get("context")
+            if e.transform == "MASKING":
+                kern = K.masking(
+                    masking_char=p.get("maskingChar", "*"),
+                    number_to_mask=int(p.get("numberToMask", 0)),
+                    reverse_order=bool(p.get("reverseOrder", False)),
+                    chars_to_ignore=p.get("charsToIgnore"),
+                    info_types=its,
+                )
+            elif e.transform == "REPLACE_VALUE":
+                kern = K.replace_value(p.get("newValue"), info_types=its)
+            elif e.transform == "REDACT":
+                kern = K.redact(info_types=its)
+            elif e.transform == "CRYPTO_HASH":
+                kern = K.crypto_hash(key, info_types=its)
+            elif e.transform == "DATE_SHIFT":
+                kern = K.date_shift(
+                    key,
+                    int(p.get("lowerBoundDays", 0)),
+                    int(p.get("upperBoundDays", 0)),
+                    context_field=ctx,
+                )
+            elif e.transform == "FORMAT_PRESERVING_ENCRYPTION":
+                kern = K.fpe(
+                    key,
+                    alphabet=p.get("alphabet", "ALPHA_NUMERIC"),
+                    custom_alphabet=p.get("customAlphabet"),
+                    surrogate=p.get("surrogateInfoTypeName"),
+                    context_field=ctx,
+                    info_types=its,
+                )
+            elif e.transform == "DETERMINISTIC_ENCRYPTION":
+                kern = K.deterministic_encryption(
+                    key,
+                    surrogate=p.get("surrogateInfoTypeName", ""),
+                    context_field=ctx,
+                    info_types=its,
+                )
+            else:  # pragma: no cover - validate() rejects first
+                raise SpecValidationError(f"unknown transform {e.transform}")
+            for fname in e.fields:
+                steps.append(CompiledStep(field=fname, kernel=kern, context=ctx))
+        return CompiledPlan(steps=steps)
+
+    def required_fields(self) -> list[str]:
+        """Fields the plan reads/writes — targets plus context fields
+        (ref DLPTransformPluginConfig.java:100-105 payload pruning)."""
+        out: list[str] = []
+        for e in self.entries:
+            for f in e.fields + ([e.properties["context"]]
+                                 if e.properties.get("context") else []):
+                if f not in out:
+                    out.append(f)
+        return out
+
+
+@dataclass
+class CompiledStep:
+    field: str
+    kernel: K.Kernel
+    context: str | None = None
+
+
+@dataclass
+class CompiledPlan:
+    """Ordered kernel applications; executed per Arrow batch."""
+
+    steps: list[CompiledStep]
+
+    def apply_pandas(self, pdf) -> "pd.DataFrame":  # noqa: F821
+        for s in self.steps:
+            ctx = pdf[s.context] if s.context else None
+            pdf[s.field] = s.kernel(pdf[s.field], ctx)
+        return pdf
+
+    def required_fields(self) -> list[str]:
+        out = []
+        for s in self.steps:
+            for f in (s.field, s.context):
+                if f and f not in out:
+                    out.append(f)
+        return out

@@ -1,0 +1,15 @@
+import pytest
+
+from dlp_plugins_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("dlp-plugins-spark-tests", master="local[4]",
+                  shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return "/root/testdata/sf0.001"

@@ -1,0 +1,129 @@
+"""Crypto kernel tests: published test vectors + round-trips.
+
+Vectors: FIPS-197 Appendix C (AES block), NIST SP 800-38G FF1-AES128
+samples 1-3 (public sample files). AES-SIV pure-python path is
+cross-validated against the `cryptography` wheel's AESSIV when present.
+"""
+
+import base64
+
+import pytest
+
+from dlp_plugins_spark.functions import crypto
+from dlp_plugins_spark.functions._aes import (
+    AESBlock,
+    _encrypt_block_py,
+    _expand_key,
+)
+
+FIPS_PT = bytes.fromhex("00112233445566778899aabbccddeeff")
+
+
+def test_aes_fips197_vectors():
+    cases = [
+        ("000102030405060708090a0b0c0d0e0f",
+         "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        ("000102030405060708090a0b0c0d0e0f1011121314151617",
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        ("000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),
+    ]
+    for keyhex, cthex in cases:
+        key, ct = bytes.fromhex(keyhex), bytes.fromhex(cthex)
+        assert AESBlock(key).encrypt_block(FIPS_PT) == ct
+        assert _encrypt_block_py(_expand_key(key), FIPS_PT) == ct
+
+
+FF1_KEY = bytes.fromhex("2B7E151628AED2A6ABF7158809CF4F3C")
+
+
+@pytest.mark.parametrize(
+    "alphabet,tweak,pt,ct",
+    [
+        ("0123456789", "", "0123456789", "2433477484"),
+        ("0123456789", "39383736353433323130", "0123456789", "6124200773"),
+        (
+            "0123456789abcdefghijklmnopqrstuvwxyz",
+            "3737373770717273373737",
+            "0123456789abcdefghi",
+            "a9tv40mll9kdu509eum",
+        ),
+    ],
+)
+def test_ff1_nist_samples(alphabet, tweak, pt, ct):
+    ff1 = crypto.FF1(FF1_KEY, alphabet, tweak=bytes.fromhex(tweak))
+    assert ff1.encrypt(pt) == ct
+    assert ff1.decrypt(ct) == pt
+
+
+def test_ff1_roundtrip_custom_alphabet():
+    ff1 = crypto.FF1(b"k" * 32, "abcdef-01", tweak=b"ctx")
+    for pt in ["abc-01", "ffffff", "0-a", "abcdef01abcdef01abcdef"]:
+        assert ff1.decrypt(ff1.encrypt(pt)) == pt
+        assert len(ff1.encrypt(pt)) == len(pt)
+        assert set(ff1.encrypt(pt)) <= set("abcdef-01")
+
+
+def test_aessiv_pure_matches_cryptography():
+    import dlp_plugins_spark.functions.crypto as C
+
+    if not C._HAVE_AESSIV:
+        pytest.skip("cryptography wheel not present")
+    key = bytes(range(32))
+    for ctx in (b"", b"context"):
+        fast = C.AESSIVCipher(key, ctx)
+        pure = C.AESSIVCipher(key, ctx)
+        pure._impl = None
+        pure._cmac = C._CMAC(key[:16])
+        pure._ctr_key = key[16:]
+        for pt in (b"", b"x", b"hello world", b"0" * 100):
+            assert fast.encrypt(pt) == pure.encrypt(pt)
+            assert pure.decrypt(fast.encrypt(pt)) == pt
+
+
+def test_det_encrypt_roundtrip_and_determinism():
+    key = crypto.resolve_key("TRANSIENT", name="test-key")
+    tok1 = crypto.det_encrypt("secret@example.com", key, "SSN_TOKEN", "ctx")
+    tok2 = crypto.det_encrypt("secret@example.com", key, "SSN_TOKEN", "ctx")
+    assert tok1 == tok2  # deterministic
+    assert tok1.startswith("SSN_TOKEN(")
+    spans = crypto.find_surrogates("pre " + tok1 + " post", "SSN_TOKEN")
+    assert len(spans) == 1
+    payload = spans[0][2]
+    assert crypto.det_decrypt_payload(payload, key, "ctx") == "secret@example.com"
+    with pytest.raises(Exception):
+        crypto.det_decrypt_payload(payload, key, "WRONG-ctx")
+
+
+def test_resolve_key_types():
+    k16 = base64.b64encode(b"0123456789abcdef").decode()
+    assert len(crypto.resolve_key("UNWRAPPED", key=k16)) == 16
+    with pytest.raises(ValueError):
+        crypto.resolve_key("UNWRAPPED", key=base64.b64encode(b"short").decode())
+    with pytest.raises(ValueError):
+        crypto.resolve_key("UNWRAPPED", key="!!!not-base64!!!")
+    assert crypto.resolve_key("TRANSIENT", name="a") != crypto.resolve_key(
+        "TRANSIENT", name="b"
+    )
+    assert (
+        crypto.resolve_key("KMS_WRAPPED", crypto_key_name="p/k", wrapped_key="w")
+        == crypto.resolve_key("KMS_WRAPPED", crypto_key_name="p/k", wrapped_key="w")
+    )
+
+
+def test_date_shift_days_bounds_and_determinism():
+    key = b"k" * 16
+    d = crypto.date_shift_days("user-1", key, -10, 10)
+    assert -10 <= d <= 10
+    assert d == crypto.date_shift_days("user-1", key, -10, 10)
+    with pytest.raises(ValueError):
+        crypto.date_shift_days("x", key, 5, 1)
+    with pytest.raises(ValueError):
+        crypto.date_shift_days("x", key, -400000, 0)
+
+
+def test_surrogate_format():
+    tok = crypto.make_surrogate("T", "abc")
+    assert tok == "T(3):abc"
+    assert crypto.find_surrogates("T(3):abcdef", "T") == [(0, 8, "abc")]
+    assert crypto.find_surrogates("T(99):abc", "T") == []  # short payload
