@@ -1,0 +1,246 @@
+"""Iceberg-style lake table: immutable parquet data files + JSON snapshot
+manifests + an atomically-swapped current-snapshot pointer.
+
+No iceberg-spark-runtime exists offline, so the engine carries its own
+minimal table format with the properties the north rule needs:
+
+- **atomic commits**: a snapshot JSON lists every live data file; the
+  ``_current`` pointer is replaced via ``os.replace`` (atomic on POSIX).
+  Readers resolve the pointer once and only ever see a complete snapshot.
+- **exactly-once**: each snapshot embeds the applied LSN ranges and batch
+  ids; a replayed batch is detected *before* any write and dropped.
+- **additive schema evolution**: the snapshot carries the table schema;
+  readers apply it to all files — parquet scans fill columns missing from
+  older files with nulls (new columns must be nullable).
+- **bucketed layout**: data files are hash-bucketed by key so a MERGE
+  touches only the buckets its batch hits, and the rewrite repartitions
+  by bucket (one output file per touched bucket per commit).
+- **lineage**: every commit writes a lineage record (snapshot id, batch
+  ids, LSN range, per-bucket row counts) next to the snapshot.
+
+The reference repo has no storage layer at all (it ships CDAP transform
+plugins; sinks come from the host pipeline, e.g. GCS JSON sink in
+examples/example-redaction-pipeline.json:111-137) — this module is the
+engine-mandated replacement sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+CURRENT_PTR = "_current"
+SNAPSHOT_DIR = "snapshots"
+DATA_DIR = "data"
+LINEAGE_DIR = "lineage"
+
+
+def key_bucket_expr(key_cols: list[str], n_buckets: int):
+    """Deterministic bucket id: positive hash of the key columns.
+
+    Uses Spark's xxhash64 (stable across sessions/versions of this
+    engine, JVM-side, no Python). pmod keeps it non-negative."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    schema_json: str
+    files: list[dict]                    # {path, bucket, rows}
+    applied_ranges: list[list[int]]      # [[min_lsn, max_lsn], ...]
+    applied_batches: list[int]
+    parent: int | None = None
+    properties: dict = field(default_factory=dict)
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Snapshot":
+        return cls(**json.loads(s))
+
+
+class LakeTable:
+    """Single-writer, many-reader bucketed lake table."""
+
+    def __init__(self, path: str, key_cols: list[str], n_buckets: int = 64):
+        self.path = path
+        self.key_cols = key_cols
+        self.n_buckets = n_buckets
+
+    # -- bootstrap -----------------------------------------------------------
+    @classmethod
+    def create(cls, path: str, schema: T.StructType, key_cols: list[str],
+               n_buckets: int = 64) -> "LakeTable":
+        if "_lsn" not in schema.fieldNames():
+            schema = T.StructType(
+                schema.fields + [T.StructField("_lsn", T.LongType(), False)]
+            )
+        os.makedirs(os.path.join(path, SNAPSHOT_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, LINEAGE_DIR), exist_ok=True)
+        t = cls(path, key_cols, n_buckets)
+        snap = Snapshot(
+            snapshot_id=0,
+            schema_json=json.dumps(schema.jsonValue()),
+            files=[],
+            applied_ranges=[],
+            applied_batches=[],
+            parent=None,
+            properties={"key_cols": key_cols, "n_buckets": n_buckets},
+        )
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def load(cls, path: str) -> "LakeTable":
+        snap = cls._read_current(path)
+        props = snap.properties
+        return cls(path, props["key_cols"], props["n_buckets"])
+
+    # -- snapshot plumbing ----------------------------------------------------
+    def _snapshot_path(self, sid: int) -> str:
+        return os.path.join(self.path, SNAPSHOT_DIR, f"snapshot-{sid:08d}.json")
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        spath = self._snapshot_path(snap.snapshot_id)
+        tmp = spath + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, spath)
+        ptr_tmp = os.path.join(self.path, f"{CURRENT_PTR}.tmp.{uuid.uuid4().hex}")
+        with open(ptr_tmp, "w") as f:
+            f.write(str(snap.snapshot_id))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptr_tmp, os.path.join(self.path, CURRENT_PTR))
+
+    @staticmethod
+    def _read_current(path: str) -> Snapshot:
+        with open(os.path.join(path, CURRENT_PTR)) as f:
+            sid = int(f.read().strip())
+        with open(os.path.join(path, SNAPSHOT_DIR, f"snapshot-{sid:08d}.json")) as f:
+            return Snapshot.from_json(f.read())
+
+    def current_snapshot(self) -> Snapshot:
+        return self._read_current(self.path)
+
+    # -- read ------------------------------------------------------------------
+    def read(self, spark: SparkSession, buckets: list[int] | None = None,
+             snapshot: Snapshot | None = None) -> DataFrame:
+        """Read the table (optionally restricted to buckets) AT a snapshot.
+
+        An explicit read schema makes older files missing newer (additive)
+        columns come back as nulls — the schema-evolution read path."""
+        snap = snapshot or self.current_snapshot()
+        schema = snap.schema()
+        files = [
+            f for f in snap.files
+            if buckets is None or f["bucket"] in set(buckets)
+        ]
+        if not files:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        return spark.read.schema(schema).parquet(*paths)
+
+    # -- commit ------------------------------------------------------------------
+    def commit_merge(
+        self,
+        new_data_by_bucket: DataFrame,
+        touched_buckets: list[int],
+        lsn_range: tuple[int, int],
+        batch_ids: list[int],
+        schema: T.StructType,
+        lineage_extra: dict | None = None,
+    ) -> Snapshot:
+        """Write new files for ``touched_buckets`` and commit: the new
+        snapshot keeps untouched files, swaps in the rewritten buckets,
+        and appends the applied LSN range + batch ids.
+
+        ``new_data_by_bucket`` must carry a ``_bucket`` column."""
+        prev = self.current_snapshot()
+        commit_id = prev.snapshot_id + 1
+        rel_dir = os.path.join(DATA_DIR, f"commit-{commit_id:08d}")
+        out_dir = os.path.join(self.path, rel_dir)
+
+        # One file per bucket: repartition by bucket, write partitioned.
+        # NB: partition dir name must not start with '_' (Hadoop hides such
+        # paths from listings), so the partition column is plain `bucket`.
+        (new_data_by_bucket
+            .withColumnRenamed("_bucket", "bucket")
+            .repartition(max(len(touched_buckets), 1), "bucket")
+            .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
+
+        files: list[dict] = []
+        bucket_rows: dict[str, int] = {}
+        for b in touched_buckets:
+            bdir = os.path.join(out_dir, f"bucket={b}")
+            if not os.path.isdir(bdir):
+                continue
+            parts = [p for p in os.listdir(bdir) if p.endswith(".parquet")]
+            nrows = 0
+            for p in parts:
+                rel = os.path.join(rel_dir, f"bucket={b}", p)
+                # row count from parquet footer (cheap, no Spark job)
+                nrows_f = pq.ParquetFile(os.path.join(self.path, rel)).metadata.num_rows
+                files.append({"path": rel, "bucket": b, "rows": nrows_f})
+                nrows += nrows_f
+            bucket_rows[str(b)] = nrows
+
+        touched = set(touched_buckets)
+        kept = [f for f in prev.files if f["bucket"] not in touched]
+        snap = Snapshot(
+            snapshot_id=commit_id,
+            schema_json=json.dumps(schema.jsonValue()),
+            files=kept + files,
+            applied_ranges=prev.applied_ranges + [list(lsn_range)],
+            applied_batches=sorted(set(prev.applied_batches) | set(batch_ids)),
+            parent=prev.snapshot_id,
+            properties=prev.properties,
+        )
+        self._write_snapshot(snap)
+        lineage = {
+            "snapshot_id": commit_id,
+            "parent": prev.snapshot_id,
+            "batch_ids": sorted(batch_ids),
+            "lsn_range": list(lsn_range),
+            "touched_buckets": sorted(touched_buckets),
+            "bucket_rows": bucket_rows,
+            "n_files": len(files),
+            **(lineage_extra or {}),
+        }
+        lpath = os.path.join(self.path, LINEAGE_DIR, f"commit-{commit_id:08d}.json")
+        tmp = lpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(lineage, f, sort_keys=True)
+        os.replace(tmp, lpath)
+        return snap
+
+    # -- exactly-once helpers ---------------------------------------------------
+    def applied_filter(self, snap: Snapshot | None = None):
+        """Column predicate: True for LSNs NOT yet applied (anti-range).
+
+        Ranges are few (one per commit) and live in the manifest, so the
+        filter compiles to a constant JVM-side expression — the anti-join
+        against checkpointed offsets costs zero shuffle."""
+        snap = snap or self.current_snapshot()
+        cond = F.lit(True)
+        for lo, hi in snap.applied_ranges:
+            cond = cond & ~F.col("lsn").between(F.lit(lo), F.lit(hi))
+        return cond
+
+    def is_batch_applied(self, batch_id: int, snap: Snapshot | None = None) -> bool:
+        snap = snap or self.current_snapshot()
+        return batch_id in set(snap.applied_batches)

@@ -1,0 +1,160 @@
+"""MERGE-style upsert: batch of change events -> lake table commit.
+
+The engine's last-writer-wins merge is expressed as **one aggregation**,
+not a join: the lake table stores ``_lsn`` (the LSN that produced each
+row), so
+
+    union(current rows of touched buckets, deduped batch)
+      -> groupBy(key).agg(max_by(whole row, _lsn))
+      -> drop rows whose winning op is D
+
+``max_by`` is algebraic, so Catalyst plans a partial (map-side)
+aggregation before the shuffle: Zipfian-hot repos are pre-combined per
+input partition, which bounds skew WITHOUT salting in the common path.
+A salted two-phase variant is still provided for pathological single-key
+batches (one key >> one executor's memory).
+
+Cross-batch semantics fall out of the stored ``_lsn``:
+- out-of-order delivery: lower-LSN updates lose to the stored row;
+- delete-then-reinsert: the later I has the higher LSN and wins;
+- duplicate batches: filtered out before the merge by the manifest's
+  applied-LSN ranges (exactly-once, see lake.applied_filter).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from dlp_plugins_spark.cdc.lake import LakeTable, key_bucket_expr
+
+OP_COL = "op"
+LSN_COL = "lsn"
+DELETE = "D"
+
+
+@dataclass
+class MergeStats:
+    batch_rows: int
+    deduped_rows: int
+    touched_buckets: int
+    op_counts: dict
+
+
+def lww_dedup(batch: DataFrame, key_cols: list[str],
+              salted: bool = False, salt_buckets: int = 32) -> DataFrame:
+    """Keep only the max-LSN event per key (within-batch LWW).
+
+    Default path: single groupBy + max_by — map-side partial aggregation
+    already neutralizes hot keys. ``salted=True`` forces an explicit
+    two-phase reduce: phase 1 reduces per (key, salt), phase 2 reduces the
+    <=``salt_buckets`` survivors per key; use when one single key
+    dominates an entire batch AND partial aggregation is defeated
+    (e.g. the batch arrives pre-sorted by lsn so every map partition holds
+    every key)."""
+    cols = [c for c in batch.columns]
+    row = F.struct(*[F.col(c) for c in cols])
+    if not salted:
+        agg = batch.groupBy(*key_cols).agg(F.max_by(row, F.col(LSN_COL)).alias("_r"))
+        return agg.select("_r.*")
+    salted_df = batch.withColumn(
+        "_salt", F.pmod(F.xxhash64(LSN_COL), F.lit(salt_buckets))
+    )
+    phase1 = (salted_df.groupBy(*key_cols, "_salt")
+              .agg(F.max_by(row, F.col(LSN_COL)).alias("_r")))
+    phase2 = (phase1.groupBy(*key_cols)
+              .agg(F.max_by(F.col("_r"), F.col(f"_r.{LSN_COL}")).alias("_r")))
+    return phase2.select("_r.*")
+
+
+def merge_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    batch_ids: list[int],
+    salted: bool = False,
+) -> MergeStats | None:
+    """Apply one micro-batch to the lake table, committing a snapshot.
+
+    ``batch`` schema: key cols + payload cols + ``op`` (I/U/D) + ``lsn``
+    (+ optional ``batch_id``). Payload columns may be a superset of the
+    table's (additive schema evolution): new nullable columns are adopted
+    into the table schema; existing rows read back as null.
+
+    Returns None when the whole batch was already applied (replay)."""
+    spark = batch.sparkSession
+    snap = table.current_snapshot()
+
+    # ---- exactly-once: drop already-applied batches/rows -------------------
+    if batch_ids and all(table.is_batch_applied(b, snap) for b in batch_ids):
+        return None
+    fresh = batch.filter(table.applied_filter(snap))
+
+    # ---- within-batch LWW dedup --------------------------------------------
+    n_batch = fresh.count()
+    if n_batch == 0:
+        return None
+    op_counts = {
+        r[OP_COL]: r["n"]
+        for r in fresh.groupBy(OP_COL).agg(F.count("*").alias("n")).collect()
+    }
+    lo, hi = fresh.agg(
+        F.min(LSN_COL).alias("lo"), F.max(LSN_COL).alias("hi")
+    ).first()
+    deduped = lww_dedup(fresh, table.key_cols, salted=salted)
+
+    # ---- schema evolution: adopt new nullable payload columns --------------
+    table_schema = snap.schema()
+    table_cols = set(table_schema.fieldNames())
+    payload_fields = [
+        f for f in deduped.schema.fields
+        if f.name not in (OP_COL, "batch_id") and f.name != LSN_COL
+    ]
+    new_fields = [
+        T.StructField(f.name, f.dataType, True)
+        for f in payload_fields if f.name not in table_cols
+    ]
+    evolved_schema = T.StructType(table_schema.fields + new_fields)
+
+    # ---- touched buckets ----------------------------------------------------
+    deduped = deduped.withColumn(
+        "_bucket", key_bucket_expr(table.key_cols, table.n_buckets)
+    ).persist()
+    try:
+        touched = [r["_bucket"] for r in deduped.select("_bucket").distinct().collect()]
+
+        # ---- single-aggregation MERGE ---------------------------------------
+        current = table.read(spark, buckets=touched, snapshot=snap)
+        current = current.withColumn(OP_COL, F.lit("U")).withColumn(
+            "_bucket", key_bucket_expr(table.key_cols, table.n_buckets)
+        ).withColumnRenamed("_lsn", LSN_COL)
+
+        batch_side = deduped.drop("batch_id")
+        unioned = current.unionByName(batch_side, allowMissingColumns=True)
+        out_cols = [f.name for f in evolved_schema.fields if f.name != "_lsn"]
+        row = F.struct(*[F.col(c) for c in out_cols + [LSN_COL, OP_COL, "_bucket"]])
+        winners = (
+            unioned.groupBy(*table.key_cols)
+            .agg(F.max_by(row, F.col(LSN_COL)).alias("_r"))
+            .select("_r.*")
+            .filter(F.col(OP_COL) != DELETE)
+            .withColumnRenamed(LSN_COL, "_lsn")
+            .drop(OP_COL)
+        )
+
+        new_snap_stats = table.commit_merge(
+            winners,
+            touched_buckets=touched,
+            lsn_range=(int(lo), int(hi)),
+            batch_ids=batch_ids,
+            schema=evolved_schema,
+            lineage_extra={"op_counts": op_counts, "batch_rows": n_batch},
+        )
+    finally:
+        deduped.unpersist()
+    return MergeStats(
+        batch_rows=n_batch,
+        deduped_rows=-1,  # not recounted: avoid an extra job on the hot path
+        touched_buckets=len(touched),
+        op_counts=op_counts,
+    )

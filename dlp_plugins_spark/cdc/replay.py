@@ -1,0 +1,203 @@
+"""Replay driver: micro-batch binlog tail -> DLP apply stage -> MERGE.
+
+The engine's outer loop (SURVEY.md §3.4): a deterministic driver-side
+micro-batch loop over binlog segments (simpler and fully checkpointable
+vs a DSv2 streaming source; each iteration is pure DataFrame work).
+Per batch:
+
+  1. materialize/ read the segment [lo, hi)
+  2. drop rows already applied (manifest LSN ranges — exactly-once)
+  3. DLP apply stage: the compiled TransformSpec rewrites `content`
+     via Arrow pandas UDFs (reference semantics, vectorized)
+  4. LWW dedup + single-aggregation MERGE into the lake table
+  5. atomic snapshot commit with lineage + metrics
+
+Resume-from-checkpoint is free: the manifest IS the checkpoint — on
+restart, `resume_lsn` is the max applied LSN + 1.
+
+Verification: `pandas_oracle_replay` replays the same events single-
+threaded in pandas with the same kernels; `state_hash` compares final
+tables by per-row sha256(content) (BASELINE.json invariant).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dlp_plugins_spark.cdc import binlog as B
+from dlp_plugins_spark.cdc.lake import LakeTable
+from dlp_plugins_spark.cdc.merge import merge_batch
+from dlp_plugins_spark.operators.redaction import apply_transforms
+from dlp_plugins_spark.plans.spec import TransformPlan
+
+# The engine's default DLP stage: redact credentials/PII out of content.
+# Mirrors the flagship redaction pipeline (examples/example-redaction-
+# pipeline.json) with the engine's composite groups.
+DEFAULT_TRANSFORM_SPEC = [{
+    "transform": "REDACT",
+    "fields": "content",
+    "filters": "DEMOGRAPHIC,CREDIT_CARD,TAX,CREDENTIAL",
+}]
+
+
+@dataclass
+class ReplayMetrics:
+    batches: int = 0
+    events: int = 0
+    skipped_batches: int = 0
+    wall_sec: float = 0.0
+    per_batch: list = field(default_factory=list)
+
+    @property
+    def events_per_sec(self) -> float:
+        return self.events / self.wall_sec if self.wall_sec else 0.0
+
+
+def replay(
+    spark: SparkSession,
+    table: LakeTable,
+    lo_lsn: int,
+    hi_lsn: int,
+    batch_size: int = 100_000,
+    transform_spec=None,
+    seed: int = 42,
+    gen_kwargs: dict | None = None,
+    extra_col_from_lsn: int | None = None,
+    out_of_order: bool = False,
+    salted: bool = False,
+    events_df: DataFrame | None = None,
+) -> ReplayMetrics:
+    """Replay binlog range [lo_lsn, hi_lsn) into ``table``.
+
+    ``events_df``: feed pre-materialized events instead of generating
+    (used by duplicate-batch tests). Batch boundaries follow batch_id."""
+    spec = transform_spec if transform_spec is not None else DEFAULT_TRANSFORM_SPEC
+    gen_kwargs = dict(gen_kwargs or {})
+    gen_kwargs["batch_size"] = batch_size
+    metrics = ReplayMetrics()
+    t0 = time.monotonic()
+    for lo in range(lo_lsn, hi_lsn, batch_size):
+        hi = min(lo + batch_size, hi_lsn)
+        bid = lo // batch_size
+        if events_df is not None:
+            batch = events_df.filter(
+                (F.col("lsn") >= lo) & (F.col("lsn") < hi)
+            )
+        else:
+            batch = B.generate_binlog(
+                spark, lo, hi, seed=seed,
+                extra_col_from_lsn=extra_col_from_lsn, **gen_kwargs,
+            )
+        if out_of_order:
+            batch = B.shuffle_within_batch(batch)
+        t_b = time.monotonic()
+        # DLP apply stage (vectorized; schema-preserving)
+        if spec:
+            batch = apply_transforms(batch, spec)
+        stats = merge_batch(table, batch, batch_ids=[bid], salted=salted)
+        dt = time.monotonic() - t_b
+        if stats is None:
+            metrics.skipped_batches += 1
+            metrics.per_batch.append({"batch_id": bid, "skipped": True})
+        else:
+            metrics.batches += 1
+            metrics.events += stats.batch_rows
+            metrics.per_batch.append({
+                "batch_id": bid, "rows": stats.batch_rows,
+                "buckets": stats.touched_buckets, "sec": round(dt, 3),
+                "ops": stats.op_counts,
+            })
+    metrics.wall_sec = time.monotonic() - t0
+    return metrics
+
+
+def resume_lsn(table: LakeTable) -> int:
+    """Where to restart after a crash: max applied LSN + 1 (manifest-derived)."""
+    snap = table.current_snapshot()
+    return max((hi for _, hi in snap.applied_ranges), default=-1) + 1
+
+
+# ---------------------------------------------------------------------------
+# single-threaded oracle + state hashing
+# ---------------------------------------------------------------------------
+
+def pandas_oracle_replay(
+    lo_lsn: int,
+    hi_lsn: int,
+    seed: int = 42,
+    transform_spec=None,
+    gen_kwargs: dict | None = None,
+    extra_col_from_lsn: int | None = None,
+    batch_size: int = 100_000,
+) -> pd.DataFrame:
+    """Reference replay: generate every event in pandas, apply the SAME
+    compiled kernels, fold LSN-ascending into a dict keyed by (repo,path).
+    Returns the final table state (sorted by key)."""
+    spec = transform_spec if transform_spec is not None else DEFAULT_TRANSFORM_SPEC
+    gk = dict(gen_kwargs or {})
+    gk["batch_size"] = batch_size
+    pdf = B.make_events_pdf(
+        np.arange(lo_lsn, hi_lsn), seed=seed,
+        extra_col_from_lsn=extra_col_from_lsn, **gk,
+    )
+    if spec:
+        import pyspark.sql.types as T
+
+        schema = T.StructType([
+            T.StructField("content", T.StringType(), True),
+            T.StructField("repo", T.StringType(), True),
+            T.StructField("path", T.StringType(), True),
+        ])
+        compiled = TransformPlan.parse(spec).compile(schema)
+        pdf = compiled.apply_pandas(pdf)
+    state: dict = {}
+    cols = [c for c in pdf.columns if c not in ("op", "batch_id")]
+    for row in pdf.sort_values("lsn").itertuples(index=False):
+        k = (row.repo, row.path)
+        if row.op == "D":
+            state.pop(k, None)
+        else:
+            d = {c: getattr(row, c) for c in cols}
+            d["_lsn"] = d.pop("lsn")
+            state[k] = d
+    out = pd.DataFrame(list(state.values()))
+    return out.sort_values(["repo", "path"]).reset_index(drop=True) if len(out) else out
+
+
+def spark_state_pdf(spark: SparkSession, table: LakeTable) -> pd.DataFrame:
+    df = table.read(spark)
+    return df.orderBy("repo", "path").toPandas()
+
+
+def state_hash(pdf: pd.DataFrame) -> str:
+    """Order-insensitive digest: sha256 over sorted per-row
+    sha256(repo|path|lsn|content) lines — the BASELINE.json invariant."""
+    if len(pdf) == 0:
+        return hashlib.sha256(b"empty").hexdigest()
+    lsns = pdf["_lsn"] if "_lsn" in pdf.columns else [""] * len(pdf)
+    rows = []
+    for repo, path, lsn, content in zip(pdf["repo"], pdf["path"], lsns,
+                                        pdf["content"]):
+        if not isinstance(content, str):
+            content = ""
+        line = f"{repo}|{path}|{lsn}|{content}"
+        rows.append(hashlib.sha256(line.encode()).hexdigest())
+    return hashlib.sha256("\n".join(sorted(rows)).encode()).hexdigest()
+
+
+def write_metrics(path: str, metrics: ReplayMetrics, **extra) -> None:
+    with open(path, "w") as f:
+        json.dump({
+            "batches": metrics.batches, "events": metrics.events,
+            "skipped_batches": metrics.skipped_batches,
+            "wall_sec": round(metrics.wall_sec, 3),
+            "events_per_sec": round(metrics.events_per_sec, 1),
+            "per_batch": metrics.per_batch, **extra,
+        }, f, indent=2, sort_keys=True)

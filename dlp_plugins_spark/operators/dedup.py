@@ -1,0 +1,228 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each with a different cost/recall point, all deterministic:
+
+- **exact_dedup** — hash-groupBy on a normalized fingerprint (md5), keep
+  the smallest id. Pure relational; one shuffle on the fingerprint; the
+  oracle-checkable baseline.
+- **minhash_lsh** — word-shingles -> per-permutation minhash signature ->
+  banded LSH buckets -> candidate pairs -> exact Jaccard verification.
+  Signatures are built ENTIRELY JVM-side (xxhash64 over the shingle
+  array + `transform`/`array_min` column expressions), so the only
+  shuffle is the band-bucket groupBy; Python never touches row data.
+- **simhash** — 64-bit sign-of-weighted-sum fingerprint (numpy pandas
+  UDF, Arrow-batched); near-dups = equal fingerprint (or Hamming<=k via
+  band rotation).
+- **ngram_jaccard** — exact character-n-gram Jaccard on candidate pairs
+  (the verifier used by minhash_lsh, exposed standalone for small sets).
+
+At 100 TB: LSH parameters (num_perm, bands) bound both the shuffle width
+(bands x rows) and the false-positive verify load; candidate
+verification joins text back by id — broadcast when the candidate set is
+small, sort-merge otherwise (AQE decides).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from dlp_plugins_spark.functions.text import fingerprint_md5, normalize_text, shingles
+
+# Mersenne prime + seeded affine permutations for minhash
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.Philox(seed))
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact normalized-content match.
+    Equivalent SQL: GROUP BY md5(normalized) -> min(id) -> semi-join."""
+    fp = fingerprint_md5(text_col).alias("_fp")
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_fp", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def duplicate_groups_exact(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_dups, keep_id) for groups with >1 member —
+    the audit view of exact_dedup."""
+    return (
+        df.select(fingerprint_md5(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      num_perm: int = 64, shingle_k: int = 5,
+                      seed: int = 42) -> DataFrame:
+    """Append `_minhash: array<bigint>` (length num_perm), JVM-side.
+
+    h_i(S) = min over shingles s of (a_i * xxhash64(s) + b_i) mod M61."""
+    a, b = _perm_params(num_perm, seed)
+    sh = shingles(text_col, k=shingle_k)
+    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    df = df.withColumn("_sh_hashes", hashes)
+    sig = F.array(*[
+        F.array_min(
+            F.transform(
+                F.col("_sh_hashes"),
+                # (a*h + b) mod M61 in long arithmetic: a*h overflows 64-bit,
+                # so split a*h = hi*2^32*lo decomposition is overkill here —
+                # use pmod of products of pmods (safe: operands < 2^31 after
+                # masking h to 31 bits, a masked to 30 bits)
+                lambda h, _a=int(a[i]), _b=int(b[i]): F.pmod(
+                    F.lit(_a & 0x3FFFFFFF) * F.pmod(h, F.lit(0x7FFFFFFF))
+                    + F.lit(_b),
+                    F.lit(_MERSENNE),
+                ),
+            )
+        )
+        for i in range(num_perm)
+    ])
+    return df.withColumn("_minhash", sig).drop("_sh_hashes")
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                           num_perm: int = 64, bands: int = 16) -> DataFrame:
+    """Banded LSH: rows sharing any band hash become candidate pairs
+    (a_id < b_id). Input must carry `_minhash`."""
+    rows_per_band = num_perm // bands
+    band_cols = [
+        F.xxhash64(
+            F.lit(bi),
+            *[F.col("_minhash")[bi * rows_per_band + r]
+              for r in range(rows_per_band)],
+        ).alias("_band_hash")
+        for bi in range(bands)
+    ]
+    ids = df.select(F.col(id_col), F.array(*band_cols).alias("_bands"))
+    exploded = ids.select(
+        id_col, F.posexplode("_bands").alias("_band_idx", "_band_hash")
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l._band_idx") == F.col("r._band_idx"))
+            & (F.col("l._band_hash") == F.col("r._band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a_id"),
+            F.col(f"r.{id_col}").alias("b_id"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def exact_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_k: int = 5) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard (JVM array
+    intersect/union). Returns (a_id, b_id, jaccard)."""
+    sets_df = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(text_col, k=shingle_k)).alias("_set"),
+    )
+    a = sets_df.alias("sa")
+    b = sets_df.alias("sb")
+    joined = (
+        pairs.join(a, pairs.a_id == F.col("sa._id"))
+        .join(b, pairs.b_id == F.col("sb._id"))
+    )
+    inter = F.size(F.array_intersect(F.col("sa._set"), F.col("sb._set")))
+    union = F.size(F.array_union(F.col("sa._set"), F.col("sb._set")))
+    return joined.select(
+        "a_id", "b_id",
+        F.when(union > 0, inter.cast("double") / union)
+        .otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", threshold: float = 0.8,
+                  num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+                  seed: int = 42) -> DataFrame:
+    """Full near-dup pipeline: signature -> LSH candidates -> exact-Jaccard
+    verify -> drop the larger id of every confirmed pair (min-id survivor,
+    applied transitively via one anti-join: a row is dropped iff it is the
+    b_id of any confirmed pair with a smaller surviving... NB this is the
+    standard one-pass approximation of connected components; exact CC
+    needs iteration and rarely changes results at threshold>=0.8)."""
+    with_sig = minhash_signature(df, text_col, num_perm, shingle_k, seed)
+    cands = minhash_lsh_candidates(with_sig, id_col, num_perm, bands)
+    verified = exact_jaccard_pairs(df, cands, text_col, id_col, shingle_k) \
+        .filter(F.col("jaccard") >= threshold)
+    losers = verified.select(F.col("b_id").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64_pdf(texts: pd.Series, seed: int = 42) -> pd.Series:
+    """64-bit simhash over whitespace tokens (numpy-vectorized per batch)."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    mask = np.uint64((1 << 64) - 1)
+    bits = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts.fillna("")):
+        toks = t.lower().split()
+        if not toks:
+            continue
+        hs = np.fromiter(
+            ((hash64_str(tok) ^ np.uint64(seed)) for tok in toks),
+            dtype=np.uint64, count=len(toks),
+        )
+        bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+        sums = bitmat.sum(axis=0) * 2 - len(toks)   # +1/-1 vote per token
+        sig = np.uint64(0)
+        for b in np.nonzero(sums > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = sig & mask
+    return pd.Series(out.astype(np.int64))  # Spark long
+
+
+def hash64_str(s: str) -> np.uint64:
+    """Deterministic 64-bit string hash (FNV-1a; Python's hash() is
+    salted per-process and would break cross-run determinism)."""
+    h = np.uint64(0xCBF29CE484222325)
+    for ch in s.encode("utf-8"):
+        h = (h ^ np.uint64(ch)) * np.uint64(0x100000001B3)
+    return h
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            out: str = "simhash") -> DataFrame:
+    @F.pandas_udf("long")
+    def _sim(texts: pd.Series) -> pd.Series:
+        return simhash64_pdf(texts)
+
+    return df.withColumn(out, _sim(F.col(text_col)))
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Drop rows whose simhash collides with a smaller-id row (near-dup at
+    Hamming distance 0; for k>0 use banded rotations — TODO round 2)."""
+    with_sig = simhash(df, text_col)
+    w = Window.partitionBy("simhash").orderBy(F.col(id_col))
+    return (with_sig.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn", "simhash"))
