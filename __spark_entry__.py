@@ -1,38 +1,581 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: DLP redaction pipeline over sf0.001 docs.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data-pipeline operators); each callable (spark, sf_dir) -> DF.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+(same column names/aliases both sides; floats rounded identically).
+Queries without an oracle entry are approximate/non-SQL ops (LSH ANN,
+minhash pairs, simhash, lang-ID heuristic, CDC lake replay) — the driver
+records rows-only checks for those.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from dlp_plugins_spark.cdc import binlog as B
+from dlp_plugins_spark.cdc.lake import LakeTable
+from dlp_plugins_spark.cdc.merge import lww_dedup
+from dlp_plugins_spark.cdc.replay import replay
+from dlp_plugins_spark.functions import text as TX
+from dlp_plugins_spark.functions.crypto import date_shift_days, resolve_key
+from dlp_plugins_spark.functions.detectors import INFO_TYPES
+from dlp_plugins_spark.operators import dedup as D
+from dlp_plugins_spark.operators import similarity as S
+from dlp_plugins_spark.operators.filter import split_sensitive
+from dlp_plugins_spark.operators.redaction import apply_transforms
+
+# ---------------------------------------------------------------------------
+# shared constants (Python regexes == RE2/Java-safe subsets)
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = INFO_TYPES["EMAIL_ADDRESS"].pattern  # \b...[A-Za-z]{2,24}\b
+STOPWORD_RE = r"(?i)\b(the|a|an|and|or|of|to|in|is|are|was|were)\b"
+BPE_RE = TX.BPE_ISH_REGEX
+
+# deterministic constant shift for the date-shift oracle
+_SHIFT_KEY = resolve_key("TRANSIENT", name="entry-shift")
+SHIFT_DAYS = date_shift_days("", _SHIFT_KEY, 30, 400)
+
+# planted-PII synthesis: identical expression in Spark and SQL
+_PII_SUFFIX_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN ' contact ' || source || "
+    "'@corp.example.com now' ELSE '' END"
+)
+
+
+def _pii_text(docs: DataFrame) -> DataFrame:
+    suffix = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit(" contact "), F.col("source"),
+                 F.lit("@corp.example.com now")),
+    ).otherwise(F.lit(""))
+    return docs.withColumn("text", F.concat(F.col("text"), suffix))
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the DLP apply stage over documents — plant PII, redact
+    it with the compiled transform plan, tag sensitivity, hash content."""
+    docs = _read(spark, "/root/testdata/sf0.001", "documents")
+    withpii = _pii_text(docs)
+    redacted = apply_transforms(withpii, [{
+        "transform": "REDACT", "fields": "text",
+        "filters": "EMAIL_ADDRESS,CREDIT_CARD_NUMBER,AWS_ACCESS_KEY_ID",
+    }])
+    return redacted.select(
+        "doc_id", "lang", "source",
+        F.col("text").alias("redacted_text"),
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def q_redact_emails(spark, sf_dir):
+    docs = _pii_text(_read(spark, sf_dir, "documents"))
+    out = apply_transforms(docs, [{
+        "transform": "REDACT", "fields": "text", "filters": "EMAIL_ADDRESS",
+    }])
+    return out.select("doc_id", F.col("text").alias("redacted"))
+
+
+SQL_REDACT_EMAILS = f"""
+SELECT doc_id,
+       regexp_replace(text || {_PII_SUFFIX_SQL}, '{EMAIL_RE}', '', 'g')
+         AS redacted
+FROM documents
+"""
+
+
+def q_mask_whole(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = apply_transforms(docs, [{
+        "transform": "MASKING", "fields": "lang", "filters": "NONE",
+        "transformProperties": {"maskingChar": "#"},
+    }])
+    return out.select("doc_id", "lang")
+
+
+SQL_MASK_WHOLE = """
+SELECT doc_id, repeat('#', length(lang)) AS lang FROM documents
+"""
+
+
+def q_mask_keep_digits_ws(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = apply_transforms(docs, [{
+        "transform": "MASKING", "fields": "text", "filters": "NONE",
+        "transformProperties": {"maskingChar": "*",
+                                "charsToIgnore": ["NUMERIC", "WHITESPACE"]},
+    }])
+    return out.select("doc_id", F.col("text").alias("masked"))
+
+
+SQL_MASK_KEEP_DIGITS_WS = r"""
+SELECT doc_id, regexp_replace(text, '[^0-9\s]', '*', 'g') AS masked
+FROM documents
+"""
+
+
+def q_replace_value_whole(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = apply_transforms(docs, [{
+        "transform": "REPLACE_VALUE", "fields": "source", "filters": "NONE",
+        "transformProperties": {"newValue": "[SRC]"},
+    }])
+    return out.select("doc_id", "source")
+
+
+SQL_REPLACE_VALUE_WHOLE = """
+SELECT doc_id, '[SRC]' AS source FROM documents
+"""
+
+
+def q_split_sensitive_by_lang(spark, sf_dir):
+    docs = _pii_text(_read(spark, sf_dir, "documents"))
+    res = split_sensitive(docs, ["EMAIL_ADDRESS"], field="text")
+    s = res.sensitive.groupBy("lang").agg(F.count("*").alias("n_sensitive"))
+    ns = res.non_sensitive.groupBy("lang").agg(F.count("*").alias("n_clean"))
+    return (
+        s.join(ns, "lang", "full_outer")
+        .select(
+            "lang",
+            F.coalesce("n_sensitive", F.lit(0)).alias("n_sensitive"),
+            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+        )
+    )
+
+
+SQL_SPLIT_SENSITIVE_BY_LANG = f"""
+SELECT lang,
+       count(*) FILTER (WHERE regexp_matches(text || {_PII_SUFFIX_SQL},
+         '{EMAIL_RE}')) AS n_sensitive,
+       count(*) FILTER (WHERE NOT regexp_matches(text || {_PII_SUFFIX_SQL},
+         '{EMAIL_RE}')) AS n_clean
+FROM documents GROUP BY lang
+"""
+
+
+def q_content_sha256(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+SQL_CONTENT_SHA256 = """
+SELECT doc_id, sha256(text) AS text_sha FROM documents
+"""
+
+
+def q_date_shift_events(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    out = apply_transforms(ev, [{
+        "transform": "DATE_SHIFT", "fields": "ts", "filters": "NONE",
+        "transformProperties": {"keyType": "TRANSIENT", "name": "entry-shift",
+                                "lowerBoundDays": 30, "upperBoundDays": 400},
+    }])
+    return out.select("event_id", F.col("ts").alias("ts_shifted"))
+
+
+SQL_DATE_SHIFT_EVENTS = f"""
+SELECT event_id, ts + INTERVAL '{SHIFT_DAYS} days' AS ts_shifted FROM events
+"""
+
+
+def q_lww_latest_event_per_user(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").withColumn("lsn", F.col("event_id"))
+    latest = lww_dedup(ev, ["user_id"])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 6).alias("last_value"),
+    )
+
+
+SQL_LWW_LATEST = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       round(value, 6) AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) AS rn FROM events)
+WHERE rn = 1
+"""
+
+
+def q_cdc_final_state_users(spark, sf_dir):
+    """events-as-binlog: key=user_id, 'error' is a delete; LWW by
+    event_id; deleted keys drop out — the merge semantics, SQL-checkable."""
+    ev = (
+        _read(spark, sf_dir, "events")
+        .withColumn("lsn", F.col("event_id"))
+        .withColumn("op", F.when(F.col("event_type") == "error",
+                                 F.lit("D")).otherwise(F.lit("U")))
+    )
+    latest = lww_dedup(ev, ["user_id"]).filter(F.col("op") != "D")
+    return latest.select(
+        "user_id", F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+    )
+
+
+SQL_CDC_FINAL_STATE = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) AS rn FROM events)
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_clicked_no_purchase(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id").distinct()
+    return clicks.join(buys, "user_id", "left_anti")
+
+
+SQL_CLICKED_NO_PURCHASE = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+
+def q_agg_events_by_type(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_AGG_EVENTS_BY_TYPE = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+       round(avg(value), 4) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_revenue_by_mktsegment(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+SQL_REVENUE_BY_MKTSEGMENT = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_q1_lineitem(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q1_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top5_orders_per_status(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("o_orderstatus", "o_orderkey",
+                F.round("o_totalprice", 2).alias("total"), "rank")
+    )
+
+
+SQL_TOP5_ORDERS = """
+SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS total, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM orders)
+WHERE rank <= 5
+"""
+
+
+def q_token_stats_by_lang(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("ws", TX.whitespace_token_count("text"))
+        .withColumn("bpe", TX.bpe_ish_token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("sum_ws_tokens"),
+            F.sum("bpe").alias("sum_bpe_tokens"),
+        )
+    )
+
+
+SQL_TOKEN_STATS = rf"""
+SELECT lang, count(*) AS n_docs,
+  sum(CASE WHEN trim(text) = '' THEN 0
+      ELSE len(string_split_regex(trim(text), '\s+')) END) AS sum_ws_tokens,
+  sum(len(regexp_extract_all(text, '{BPE_RE}'))) AS sum_bpe_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_quality_by_source(spark, sf_dir):
+    docs = TX.quality_features(_read(spark, sf_dir, "documents"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+        F.round(F.avg("digit_ratio"), 4).alias("avg_digit_ratio"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+    )
+
+
+SQL_QUALITY_BY_SOURCE = rf"""
+WITH feat AS (
+  SELECT source,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+    len(regexp_extract_all(text, '{STOPWORD_RE}')) AS n_stops,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+    length(text) AS n_chars
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+  round(avg(CASE WHEN n_tokens > 0
+        THEN CAST(n_stops AS DOUBLE) / n_tokens ELSE 0 END), 4)
+    AS avg_stopword_ratio,
+  round(avg(CASE WHEN n_chars > 0
+        THEN CAST(n_digits AS DOUBLE) / n_chars ELSE 0 END), 4)
+    AS avg_digit_ratio,
+  round(avg(CAST(n_tokens AS DOUBLE)), 2) AS avg_tokens
+FROM feat GROUP BY source
+"""
+
+
+def q_exact_dedup_groups(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(TX.fingerprint_md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+SQL_EXACT_DEDUP_GROUPS = r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
+       count(*) AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY fp
+"""
+
+
+def q_brute_force_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+SQL_BRUTE_FORCE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(e.embedding, q.qe),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qe,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+  FROM embeddings e CROSS JOIN q)
+SELECT query_id, neighbor_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_top_similar_pairs(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"),
+        F.round(S.cosine_expr(F.col("a._v"), F.col("b._v")), 6).alias("cosine"),
+    )
+    return pairs.orderBy(F.desc("cosine"), "a_id", "b_id").limit(20)
+
+
+SQL_TOP_SIMILAR_PAIRS = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT a_id, b_id, cosine FROM pairs
+ORDER BY cosine DESC, a_id, b_id LIMIT 20
+"""
+
+
+# ---- non-SQL-expressible (rows-only checks) --------------------------------
+
+def q_minhash_near_dup_pairs(spark, sf_dir):
+    # 8 bands x 8 rows: P(candidate | J=0.3) per band = J^8 ~ 7e-5, so the
+    # word-soup corpus (high pairwise 5-shingle overlap by chance) doesn't
+    # explode the candidate join.
+    docs = _read(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs, num_perm=64, shingle_k=5)
+    cands = D.minhash_lsh_candidates(sig, num_perm=64, bands=8)
+    return D.exact_jaccard_pairs(docs, cands, shingle_k=5) \
+        .filter(F.col("jaccard") >= 0.3) \
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_docs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return D.simhash(docs).select("doc_id", "simhash")
+
+
+def q_lang_detect(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return TX.detect_language(docs).select("doc_id", "lang_detected")
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return S.ann_topk(emb, queries, dim=64, k=5, bits=6, n_tables=8)
+
+
+def q_cdc_replay_state(spark, sf_dir):
+    """End-to-end engine exercise: generate a small binlog, replay it
+    through the DLP stage into a throwaway lake table, return final state.
+    Deterministic row set; rows-only driver check (the real verification
+    is tests/test_cdc.py vs the pandas oracle)."""
+    payload = T.StructType([
+        f for f in B.BINLOG_SCHEMA.fields
+        if f.name not in ("op", "lsn", "batch_id")
+    ])
+    tdir = tempfile.mkdtemp(prefix="entry_cdc_")
+    table = LakeTable.create(os.path.join(tdir, "t"), payload, B.TABLE_KEY,
+                             n_buckets=8)
+    replay(spark, table, 0, 2000, batch_size=1000,
+           gen_kwargs=dict(n_repos=20, paths_per_repo=30))
+    return (
+        table.read(spark)
+        .select("repo", "path", "commit", "lang", "_lsn",
+                F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+                .alias("content_sha"))
+        .orderBy("repo", "path")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # reference-semantics DLP operators (SURVEY.md §2.1-2.3)
+        "redact_emails": q_redact_emails,
+        "mask_whole": q_mask_whole,
+        "mask_keep_digits_ws": q_mask_keep_digits_ws,
+        "replace_value_whole": q_replace_value_whole,
+        "split_sensitive_by_lang": q_split_sensitive_by_lang,
+        "content_sha256": q_content_sha256,
+        "date_shift_events": q_date_shift_events,
+        # CDC / relational engine ops (SURVEY.md §2.6)
+        "lww_latest_event_per_user": q_lww_latest_event_per_user,
+        "cdc_final_state_users": q_cdc_final_state_users,
+        "clicked_no_purchase": q_clicked_no_purchase,
+        "agg_events_by_type": q_agg_events_by_type,
+        "revenue_by_mktsegment": q_revenue_by_mktsegment,
+        "q1_lineitem": q_q1_lineitem,
+        "top5_orders_per_status": q_top5_orders_per_status,
+        # text analysis
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "quality_by_source": q_quality_by_source,
+        # dedup & similarity
+        "exact_dedup_groups": q_exact_dedup_groups,
+        "brute_force_topk": q_brute_force_topk,
+        "top_similar_pairs": q_top_similar_pairs,
+        # rows-only (approximate / engine-native)
+        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "simhash_docs": q_simhash_docs,
+        "lang_detect": q_lang_detect,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "cdc_replay_state": q_cdc_replay_state,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "redact_emails": SQL_REDACT_EMAILS,
+        "mask_whole": SQL_MASK_WHOLE,
+        "mask_keep_digits_ws": SQL_MASK_KEEP_DIGITS_WS,
+        "replace_value_whole": SQL_REPLACE_VALUE_WHOLE,
+        "split_sensitive_by_lang": SQL_SPLIT_SENSITIVE_BY_LANG,
+        "content_sha256": SQL_CONTENT_SHA256,
+        "date_shift_events": SQL_DATE_SHIFT_EVENTS,
+        "lww_latest_event_per_user": SQL_LWW_LATEST,
+        "cdc_final_state_users": SQL_CDC_FINAL_STATE,
+        "clicked_no_purchase": SQL_CLICKED_NO_PURCHASE,
+        "agg_events_by_type": SQL_AGG_EVENTS_BY_TYPE,
+        "revenue_by_mktsegment": SQL_REVENUE_BY_MKTSEGMENT,
+        "q1_lineitem": SQL_Q1_LINEITEM,
+        "top5_orders_per_status": SQL_TOP5_ORDERS,
+        "token_stats_by_lang": SQL_TOKEN_STATS,
+        "quality_by_source": SQL_QUALITY_BY_SOURCE,
+        "exact_dedup_groups": SQL_EXACT_DEDUP_GROUPS,
+        "brute_force_topk": SQL_BRUTE_FORCE_TOPK,
+        "top_similar_pairs": SQL_TOP_SIMILAR_PAIRS,
+    }

@@ -1,0 +1,123 @@
+"""Engine benchmark — the driver runs this per-round.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "events_per_sec": ...}
+
+Workload:
+- ``cdc_replay``: the headline — replay a synthetic binlog (default 400k
+  events, override $SPARK_GRAFT_BENCH_EVENTS) through the DLP apply stage
+  into a throwaway lake table; reports events/sec too.
+- a query suite over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
+  the representative operators from __spark_entry__.queries().
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side collect). Session: local[$SPARK_GRAFT_CPUS], AQE on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from dlp_plugins_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "400000"))
+BATCH = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "100000"))
+
+BENCH_QUERIES = [
+    "redact_emails",
+    "mask_keep_digits_ws",
+    "split_sensitive_by_lang",
+    "date_shift_events",
+    "lww_latest_event_per_user",
+    "cdc_final_state_users",
+    "agg_events_by_type",
+    "revenue_by_mktsegment",
+    "q1_lineitem",
+    "top5_orders_per_status",
+    "token_stats_by_lang",
+    "quality_by_source",
+    "exact_dedup_groups",
+    "minhash_near_dup_pairs",
+    "simhash_docs",
+    "brute_force_topk",
+    "ann_topk_lsh",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_cdc_replay(spark) -> tuple[float, float, int]:
+    """Returns (wall_sec, events_per_sec, n_events)."""
+    import pyspark.sql.types as T
+
+    from dlp_plugins_spark.cdc.binlog import BINLOG_SCHEMA, TABLE_KEY
+    from dlp_plugins_spark.cdc.lake import LakeTable
+    from dlp_plugins_spark.cdc.replay import replay
+
+    from dlp_plugins_spark.cdc.binlog import generate_binlog
+
+    payload = T.StructType([
+        f for f in BINLOG_SCHEMA.fields
+        if f.name not in ("op", "lsn", "batch_id")
+    ])
+    tdir = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        # materialize the binlog first (a real deployment tails an existing
+        # log; generator cost is not engine cost)
+        binlog_path = os.path.join(tdir, "binlog.parquet")
+        generate_binlog(spark, 0, N_EVENTS, parallelism=64, n_repos=2000,
+                        paths_per_repo=500, batch_size=BATCH) \
+            .write.mode("overwrite").parquet(binlog_path)
+        events = spark.read.parquet(binlog_path)
+        table = LakeTable.create(os.path.join(tdir, "t"), payload, TABLE_KEY,
+                                 n_buckets=64)
+        m = replay(spark, table, 0, N_EVENTS, batch_size=BATCH,
+                   events_df=events)
+        return m.wall_sec, m.events_per_sec, m.events
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+def main() -> None:
+    import __spark_entry__ as E
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    replay_sec, eps, n_events = run_cdc_replay(spark)
+    timings["cdc_replay"] = round(replay_sec, 3)
+
+    qs = E.queries()
+    for name in BENCH_QUERIES:
+        t = time.monotonic()
+        _force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t, 3)
+
+    total = time.monotonic() - t0
+    sf = 0.1 if "sf0.1" in SF_DIR else (
+        0.01 if "sf0.01" in SF_DIR else (0.001 if "sf0.001" in SF_DIR else SF_DIR)
+    )
+    print(json.dumps({
+        "metric": "cdc_replay+query_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "events_per_sec": round(eps, 1),
+        "replay_events": n_events,
+        "replay_batch_size": BATCH,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -88,19 +88,26 @@ def merge_batch(
     # ---- exactly-once: drop already-applied batches/rows -------------------
     if batch_ids and all(table.is_batch_applied(b, snap) for b in batch_ids):
         return None
-    fresh = batch.filter(table.applied_filter(snap))
+    # persist: the batch pipeline includes the (Python) DLP apply stage —
+    # computing it once and caching beats re-running it for stats + merge.
+    fresh = batch.filter(table.applied_filter(snap)).persist()
 
-    # ---- within-batch LWW dedup --------------------------------------------
-    n_batch = fresh.count()
-    if n_batch == 0:
-        return None
-    op_counts = {
-        r[OP_COL]: r["n"]
-        for r in fresh.groupBy(OP_COL).agg(F.count("*").alias("n")).collect()
-    }
-    lo, hi = fresh.agg(
-        F.min(LSN_COL).alias("lo"), F.max(LSN_COL).alias("hi")
+    # ---- ONE stats job: count, lsn range, per-op counts ---------------------
+    stats = fresh.agg(
+        F.count("*").alias("n"),
+        F.min(LSN_COL).alias("lo"),
+        F.max(LSN_COL).alias("hi"),
+        *[
+            F.sum(F.when(F.col(OP_COL) == o, 1).otherwise(0)).alias(f"n_{o}")
+            for o in ("I", "U", "D")
+        ],
     ).first()
+    n_batch = stats["n"]
+    if n_batch == 0:
+        fresh.unpersist()
+        return None
+    lo, hi = stats["lo"], stats["hi"]
+    op_counts = {o: stats[f"n_{o}"] for o in ("I", "U", "D") if stats[f"n_{o}"]}
     deduped = lww_dedup(fresh, table.key_cols, salted=salted)
 
     # ---- schema evolution: adopt new nullable payload columns --------------
@@ -152,6 +159,7 @@ def merge_batch(
         )
     finally:
         deduped.unpersist()
+        fresh.unpersist()
     return MergeStats(
         batch_rows=n_batch,
         deduped_rows=-1,  # not recounted: avoid an extra job on the hot path

@@ -30,16 +30,6 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from dlp_plugins_spark.functions.text import fingerprint_md5, normalize_text, shingles
 
-# Mersenne prime + seeded affine permutations for minhash
-_MERSENNE = (1 << 61) - 1
-
-
-def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.Generator(np.random.Philox(seed))
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
-    return a, b
-
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
@@ -68,33 +58,41 @@ def duplicate_groups_exact(df: DataFrame, text_col: str = "text",
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text",
-                      num_perm: int = 64, shingle_k: int = 5,
-                      seed: int = 42) -> DataFrame:
-    """Append `_minhash: array<bigint>` (length num_perm), JVM-side.
+                      id_col: str = "doc_id", num_perm: int = 64,
+                      shingle_k: int = 5, seed: int = 42) -> DataFrame:
+    """(id, `_minhash: array<bigint>` of length num_perm), JVM-side.
 
-    h_i(S) = min over shingles s of (a_i * xxhash64(s) + b_i) mod M61."""
-    a, b = _perm_params(num_perm, seed)
-    sh = shingles(text_col, k=shingle_k)
-    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    df = df.withColumn("_sh_hashes", hashes)
-    sig = F.array(*[
-        F.array_min(
-            F.transform(
-                F.col("_sh_hashes"),
-                # (a*h + b) mod M61 in long arithmetic: a*h overflows 64-bit,
-                # so split a*h = hi*2^32*lo decomposition is overkill here —
-                # use pmod of products of pmods (safe: operands < 2^31 after
-                # masking h to 31 bits, a masked to 30 bits)
-                lambda h, _a=int(a[i]), _b=int(b[i]): F.pmod(
-                    F.lit(_a & 0x3FFFFFFF) * F.pmod(h, F.lit(0x7FFFFFFF))
-                    + F.lit(_b),
-                    F.lit(_MERSENNE),
-                ),
-            )
-        )
+    h_i(S) = min over shingles s of xxhash64(xxhash64(s), i, seed).
+
+    Shape: explode shingle hashes once, then num_perm ``min`` aggregations
+    per id. Two deliberate choices for scale/correctness:
+    - NOT an array-expression fan-out (array_min(transform(...)) x 64):
+      Catalyst's projection collapse would inline the shingle pipeline
+      into every permutation, recomputing the split/slice/join string
+      work 64x per row. The explode+groupBy form computes shingles once
+      and the mins are map-side partially aggregated (skew-immune).
+    - NOT an affine (a*h+b) mod p "permutation": unless the product
+      wraps the modulus many times it is near-order-preserving in h, so
+      every permutation picks the same argmin and the Jaccard estimate
+      degenerates. A full avalanche re-hash (xxhash64 with the
+      permutation index as seed material) is a proper family.
+
+    Rows with fewer than ``shingle_k`` words have no shingles and drop
+    out (they cannot near-duplicate anything at this granularity)."""
+    sh = F.array_distinct(shingles(text_col, k=shingle_k))
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.transform(sh, lambda s: F.xxhash64(s))).alias("_h"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("_h"), F.lit(i), F.lit(seed))).alias(f"_mh{i}")
         for i in range(num_perm)
-    ])
-    return df.withColumn("_minhash", sig).drop("_sh_hashes")
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_mh{i}") for i in range(num_perm)]).alias("_minhash"),
+    )
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -166,7 +164,8 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
     b_id of any confirmed pair with a smaller surviving... NB this is the
     standard one-pass approximation of connected components; exact CC
     needs iteration and rarely changes results at threshold>=0.8)."""
-    with_sig = minhash_signature(df, text_col, num_perm, shingle_k, seed)
+    with_sig = minhash_signature(df, text_col, id_col, num_perm, shingle_k,
+                                 seed)
     cands = minhash_lsh_candidates(with_sig, id_col, num_perm, bands)
     verified = exact_jaccard_pairs(df, cands, text_col, id_col, shingle_k) \
         .filter(F.col("jaccard") >= threshold)

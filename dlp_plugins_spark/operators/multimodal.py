@@ -1,0 +1,160 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched mapInPandas kernels.
+
+The Spark-side machinery (schemas, batch shapes, partition sizing, UDF
+signatures) is REAL and tested; the codec step is a deterministic stub —
+the container ships no image/audio libraries, so `decode_image` et al.
+raise `NotImplementedError` unless `fake=True`, in which case a
+deterministic synthesizer stands in (so pipelines and tests exercise the
+full plumbing end-to-end).
+
+Scale notes baked into the design:
+- binary payloads ride the SAME DataFrame as metadata — no side-channel
+  file lists; Spark splits by maxPartitionBytes so a partition of blobs
+  fits executor memory;
+- feature extraction emits SMALL fixed-width columns (dims, hash,
+  embedding) so downstream shuffles never move the blobs again — project
+  the binary away as early as possible;
+- frame sampling yields multiple rows per input via mapInPandas's
+  iterator contract (0..n output rows per input row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+IMAGE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image|audio|video
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("payload", T.BinaryType(), True),     # opaque bytes
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sha256", T.StringType(), True),
+    T.StructField("n_bytes", T.IntegerType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_sha256", T.StringType(), True),
+])
+
+
+def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng_bytes = [
+                hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + int(i) % 4)
+                for i in ids
+            ]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": ["image" if i % 3 else "audio" for i in ids],
+                "mime": ["image/png" if i % 3 else "audio/wav" for i in ids],
+                "payload": rng_bytes,
+                "meta": [{"source": f"synth-{int(i) % 7}"} for i in ids],
+            })
+
+    return spark.range(n).mapInPandas(gen, schema=IMAGE_SCHEMA)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to HxWx3 uint8.
+
+    STUB: no codec libraries in this container. ``fake=True`` returns a
+    deterministic 8x8 synthetic derived from the payload hash, keeping
+    shapes/types contract-true for the plumbing tests."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; pass fake=True "
+            "or wire Pillow/libvips here in a full deployment"
+        )
+    h = hashlib.sha256(payload or b"").digest()
+    base = np.frombuffer((h * 6)[:192], dtype=np.uint8)
+    return base.reshape(8, 8, 3)
+
+
+def extract_features(df: DataFrame, fake_decode: bool = True,
+                     emb_dim: int = 16) -> DataFrame:
+    """media table -> compact per-item features (Arrow-batched).
+
+    The output drops the payload column — 100TB rule: blobs cross the
+    pipeline once."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                img = decode_image(payload, fake=fake_decode)
+                flat = img.reshape(-1).astype(np.float32)
+                emb = np.resize(flat, emb_dim) / 255.0
+                rows.append((
+                    mid,
+                    hashlib.sha256(payload).hexdigest(),
+                    len(payload),
+                    img.shape[1], img.shape[0],
+                    emb.tolist(),
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, schema=FEATURE_SCHEMA
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 2,
+                  fake_decode: bool = True) -> DataFrame:
+    """video rows -> 0..n frame rows (demonstrates the row-expanding
+    mapInPandas contract used for real frame sampling)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_sha256": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = max(1, len(payload) // 32)
+                for fi in range(0, n_frames, every_n):
+                    chunk = payload[fi * 32:(fi + 1) * 32]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["frame_sha256"].append(
+                        hashlib.sha256(chunk).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, schema=FRAME_SCHEMA
+    )
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Declared resize stage: passes metadata through, marks the target
+    size in `meta` (real resize would live in extract-style kernel)."""
+    return df.withColumn(
+        "meta",
+        F.map_concat(
+            F.coalesce(F.col("meta"), F.create_map().cast(
+                "map<string,string>")),
+            F.create_map(
+                F.lit("resize_to"), F.lit(f"{width}x{height}"),
+            ),
+        ),
+    )

@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths:
+
+- **brute-force cosine top-k** — the exact baseline: broadcast the
+  (small) query set, one JVM-side pass computing dot products with
+  `zip_with`/`aggregate` column expressions, `row_number` window for
+  top-k. No Python in the loop; scales as scan-cost x |queries|.
+- **LSH-bucketed ANN** — the 100TB path: sign-random-projection bit
+  buckets (seeded hyperplanes, numpy matmul in an Arrow-batched pandas
+  UDF); candidates = bucket collisions under any of `n_tables`
+  independent hash tables; exact cosine re-rank on candidates only.
+  Probing cost drops from O(N) to O(N / 2^bits * n_tables) per query.
+
+Determinism: hyperplanes derive from a fixed seed; ties in top-k break
+by ascending neighbor id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a, b):
+    """cosine(a, b) as a pure column expression (doubles)."""
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries``: (query_id, embedding). Broadcast (queries are few);
+    the corpus is scanned once — the join is a broadcast nested loop,
+    embarrassingly parallel over corpus splits, no shuffle of the big
+    side; only the tiny (rows x |queries|) result shuffles for top-k."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).cast("array<double>").alias("_qvec"),
+        )
+    )
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec")
+    )
+    scored = corpus.crossJoin(q).select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_expr(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (sign random projection)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, bits: int, n_tables: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.Philox(seed))
+    return rng.standard_normal((n_tables, bits, dim)).astype(np.float64)
+
+
+def add_srp_buckets(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    out: str = "_buckets",
+) -> DataFrame:
+    """Append `array<int>` of length n_tables: the SRP bucket per table.
+    One numpy matmul per Arrow batch (vectorized, no per-row Python)."""
+    planes = _hyperplanes(dim, bits, n_tables, seed)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf("array<int>")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vecs.to_numpy())  # (n, dim)
+        out_list = []
+        signs = []
+        for t in range(planes.shape[0]):
+            proj = m @ planes[t].T          # (n, bits)
+            code = ((proj > 0).astype(np.int64) * weights).sum(axis=1)
+            signs.append(code.astype(np.int32))
+        codes = np.stack(signs, axis=1)     # (n, n_tables)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out, _bucket(F.col(vec_col)))
+
+
+def ann_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an SRP bucket in >=1 table;
+    exact cosine re-rank on candidates only.
+
+    At corpus scale the bucketed corpus is the big side — the join key
+    (table_idx, bucket) distributes it; queries explode to n_tables rows
+    each and broadcast."""
+    c = add_srp_buckets(df, dim, vec_col, bits, n_tables, seed)
+    c = c.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec"),
+        F.posexplode("_buckets").alias("_tbl", "_bkt"),
+    )
+    q = add_srp_buckets(queries, dim, vec_col, bits, n_tables, seed)
+    q = q.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+        F.posexplode("_buckets").alias("_tbl", "_bkt"),
+    )
+    cands = (
+        c.join(F.broadcast(q), on=["_tbl", "_bkt"])
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_cvec"), F.col("_qvec"),
+        )
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    scored = cands.select(
+        query_id_col, "neighbor_id",
+        F.round(cosine_expr(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold, found via
+    SRP bucket collisions (self-join on bucket, a_id < b_id) + exact
+    cosine verification. Returns (a_id, b_id, cosine)."""
+    c = add_srp_buckets(df, dim, vec_col, bits, n_tables, seed)
+    flat = c.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"),
+        F.posexplode("_buckets").alias("_tbl", "_bkt"),
+    )
+    a, b = flat.alias("a"), flat.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._tbl") == F.col("b._tbl"))
+            & (F.col("a._bkt") == F.col("b._bkt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        pairs.select(
+            "a_id", "b_id",
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -33,7 +33,7 @@ from dlp_plugins_spark.functions.crypto import resolve_key
 from dlp_plugins_spark.functions.detectors import INFO_TYPES, expand_groups
 
 _STRING_ONLY = ("string",)
-_TEMPORAL = ("date", "timestamp")
+_TEMPORAL = ("date", "timestamp", "timestamp_ntz")
 
 # transform -> supported Spark simple type names
 # (ref *TransformConfig.getSupportedTypes; see SURVEY.md §1.2)

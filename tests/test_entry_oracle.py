@@ -1,0 +1,93 @@
+"""Replicates the driver's correctness gate: for every queries() entry
+with an oracle_sql() counterpart, run the Spark query AND the DuckDB SQL
+at sf0.01 and compare row count + column names + order-insensitive
+value hash. Rows-only queries are smoke-checked for determinism."""
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _canon_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "∅"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _value_hash(pdf) -> str:
+    cols = sorted(pdf.columns)
+    rows = sorted(
+        "|".join(_canon_cell(r[c]) for c in cols)
+        for _, r in pdf[cols].iterrows()
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+ORACLE_KEYS = sorted(E.oracle_sql().keys())
+ROWS_ONLY_KEYS = sorted(set(E.queries()) - set(E.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, name):
+    q = E.queries()[name]
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    duck_pdf = _duck(E.oracle_sql()[name])
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: rows {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: cols {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    h1, h2 = _value_hash(spark_pdf), _value_hash(duck_pdf)
+    if h1 != h2:
+        merged = spark_pdf.sort_values(sorted(spark_pdf.columns)[0]).head(5)
+        raise AssertionError(
+            f"{name}: value hash mismatch\nspark head:\n{merged}\n"
+            f"duck head:\n{duck_pdf.sort_values(sorted(duck_pdf.columns)[0]).head(5)}"
+        )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
+def test_rows_only_queries_run_and_are_deterministic(spark, name):
+    q = E.queries()[name]
+    df1 = q(spark, SF_DIR)
+    p1 = df1.toPandas()
+    assert len(p1) >= 0 and len(p1.columns) > 0
+    if name == "cdc_replay_state":
+        assert len(p1) > 0  # replay must materialize state
+        return  # second replay writes another tmp table; determinism is
+        # covered in tests/test_cdc.py
+    p2 = q(spark, SF_DIR).toPandas()
+    assert _value_hash(p1) == _value_hash(p2), f"{name} not deterministic"
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert "redacted_text" in pdf.columns and "text_sha" in pdf.columns
+    # planted emails must be gone
+    assert not pdf["redacted_text"].str.contains("@corp.example.com").any()

@@ -1,0 +1,230 @@
+"""Training-data pipeline operators: dedup family, similarity search,
+text analysis, multimodal plumbing — verified against numpy/pandas
+oracles and the driver-provided testdata parquet."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dlp_plugins_spark.functions import text as TX
+from dlp_plugins_spark.operators import dedup as D
+from dlp_plugins_spark.operators import multimodal as MM
+from dlp_plugins_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def _dup_docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again ok",
+        "an entirely different document about spark shuffles and joins",
+        "pandas arrow batches flow through vectorized kernels smoothly",
+    ]
+    rows = [
+        Row(doc_id=1, text=base[0]),
+        Row(doc_id=2, text=base[0]),                         # exact dup of 1
+        Row(doc_id=3, text=base[0].replace("dog", "cat")),   # near dup of 1
+        Row(doc_id=4, text=base[1]),
+        Row(doc_id=5, text=base[1].upper()),                 # exact after norm
+        Row(doc_id=6, text=base[2]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark):
+    df = _dup_docs(spark)
+    kept = sorted(r.doc_id for r in D.exact_dedup(df).collect())
+    assert kept == [1, 3, 4, 6]  # 2 dups 1; 5 dups 4 after normalization
+    groups = {r.keep_id: r.n_dups
+              for r in D.duplicate_groups_exact(df).collect()}
+    assert groups == {1: 2, 4: 2}
+
+
+def test_minhash_dedup_catches_near_dups(spark):
+    df = _dup_docs(spark)
+    kept = sorted(
+        r.doc_id
+        for r in D.minhash_dedup(df, threshold=0.5, shingle_k=3,
+                                 num_perm=32, bands=16).collect()
+    )
+    # near-dup 3 (one word changed) collapses into 1 as well
+    assert kept == [1, 4, 6]
+
+
+def test_minhash_jaccard_accuracy(spark):
+    """Verified pairs report exact Jaccard — check one by hand."""
+    df = _dup_docs(spark)
+    sig = D.minhash_signature(df, num_perm=32, shingle_k=3)
+    cands = D.minhash_lsh_candidates(sig, num_perm=32, bands=16)
+    pairs = {(r.a_id, r.b_id): r.jaccard
+             for r in D.exact_jaccard_pairs(df, cands, shingle_k=3).collect()}
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    if (1, 3) in pairs:          # one-word-changed near dup
+        assert 0.4 < pairs[(1, 3)] < 1.0
+
+
+def test_simhash_dedup_and_determinism(spark):
+    df = _dup_docs(spark)
+    kept = sorted(r.doc_id for r in D.simhash_dedup(df).collect())
+    assert 1 in kept and 2 not in kept  # identical text -> same simhash
+    # determinism across runs
+    s1 = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    s2 = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    assert s1 == s2
+    assert s1[1] == s1[2] != s1[4]
+
+
+def test_exact_dedup_on_real_documents(docs):
+    n = docs.count()
+    kept = D.exact_dedup(docs).count()
+    assert 0 < kept <= n
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def test_brute_force_topk_matches_numpy(emb, spark):
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    qids = [int(ids[0]), int(ids[7])]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = S.brute_force_topk(emb, queries, k=5).toPandas()
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in qids:
+        qvec = mat[ids == qid][0]
+        cos = mat @ qvec / (norms * np.linalg.norm(qvec))
+        order = np.lexsort((ids, -np.round(cos, 6)))
+        expect = ids[order][:5].tolist()
+        mine = got[got.query_id == qid].sort_values("rank")
+        assert mine.neighbor_id.tolist() == expect
+        assert mine.iloc[0].neighbor_id == qid  # self is nearest
+
+
+def test_ann_topk_recall(emb):
+    qids = list(range(8))
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(emb, queries, k=10).toPandas()
+    approx = S.ann_topk(emb, queries, dim=64, k=10, bits=6, n_tables=8) \
+        .toPandas()
+    recalls = []
+    for q in qids:
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls
+    # self-match always survives (same bucket in every table)
+    for q in qids:
+        assert q in set(approx[approx.query_id == q].neighbor_id)
+
+
+def test_embedding_near_dup_finds_planted_duplicate(spark, emb):
+    one = emb.limit(1).select(
+        F.lit(9999).cast("long").alias("vec_id"), "embedding",
+        F.lit(0).alias("label"),
+    )
+    with_dup = emb.unionByName(one)
+    pairs = S.embedding_near_dup(with_dup, dim=64, threshold=0.999,
+                                 bits=8, n_tables=6).toPandas()
+    assert ((pairs.b_id == 9999) & (pairs.cosine >= 0.999)).any()
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([
+        Row(text="hello world  foo"), Row(text=""), Row(text="   "),
+        Row(text="a-b c_d 12 3.4"),
+    ])
+    got = df.select(
+        TX.whitespace_token_count("text").alias("ws"),
+        TX.bpe_ish_token_count("text").alias("bpe"),
+    ).collect()
+    assert [r.ws for r in got] == [3, 0, 0, 4]
+    # "a-b c_d 12 3.4" -> a,-,b,c,_,d,12,3,.,4 = 10 bpe-ish tokens
+    assert got[3].bpe == 10
+
+
+def test_quality_features_and_score(docs):
+    out = TX.quality_score(docs).toPandas()
+    assert ((out.quality_score >= 0) & (out.quality_score <= 1)).all()
+    assert (out.n_tokens > 0).all()
+    assert (out.avg_token_len > 0).all()
+    # the docs corpus is plain lowercase words: punct ratio ~ 0
+    assert (out.punct_ratio < 0.05).all()
+
+
+def test_language_detection(spark):
+    df = spark.createDataFrame([
+        Row(text="the cat is on the mat and the dog is in the house"),
+        Row(text="der Hund ist nicht in der Schule und das ist gut"),
+        Row(text="le chat est sur la table et les enfants sont à la maison"),
+        Row(text="el perro es una mascota que vive por la casa"),
+        Row(text="这是一个中文句子"),
+        Row(text="xyzzy"),
+    ])
+    got = [r.lang_detected for r in TX.detect_language(df).collect()]
+    assert got == ["en", "de", "fr", "es", "zh", "und"]
+
+
+def test_fingerprints_normalize(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="Hello,   World!"),
+        Row(doc_id=2, text="hello world"),
+        Row(doc_id=3, text="different entirely"),
+    ])
+    got = df.select("doc_id", TX.fingerprint_md5("text").alias("fp"),
+                    TX.fingerprint64("text").alias("fp64")).collect()
+    assert got[0].fp == got[1].fp and got[0].fp64 == got[1].fp64
+    assert got[0].fp != got[2].fp
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([Row(text="a b c d e"), Row(text="a b")])
+    got = df.select(TX.shingles("text", k=3).alias("s")).collect()
+    assert got[0].s == ["a b c", "b c d", "c d e"]
+    assert got[1].s == []
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_features_and_frames(spark):
+    media = MM.synth_media_df(spark, n=24)
+    assert media.schema == MM.IMAGE_SCHEMA
+    feats = MM.extract_features(media).toPandas()
+    assert len(feats) == 24
+    assert feats["sha256"].notna().all() and (feats["width"] == 8).all()
+    assert feats["embedding"].map(len).eq(16).all()
+    # deterministic across runs
+    feats2 = MM.extract_features(MM.synth_media_df(spark, n=24)).toPandas()
+    assert feats.sha256.tolist() == feats2.sha256.tolist()
+    frames = MM.sample_frames(media, every_n=2).toPandas()
+    assert (frames.groupby("media_id").size() > 0).all()
+    assert (frames.frame_idx % 2 == 0).all()
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"xx", fake=False)
