@@ -130,13 +130,20 @@ def ann_topk(
     bits: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share an SRP bucket in >=1 table;
     exact cosine re-rank on candidates only.
 
+    Multi-probe (default on): each query additionally probes every
+    bucket at Hamming distance 1 from its code — `bits` extra probes
+    per table. The probes live on the tiny broadcast side, so recall
+    rises ~(1+bits·(1-p)/p)× per table at zero cost to the corpus scan
+    or its partitioning.
+
     At corpus scale the bucketed corpus is the big side — the join key
-    (table_idx, bucket) distributes it; queries explode to n_tables rows
-    each and broadcast."""
+    (table_idx, bucket) distributes it; queries explode to
+    n_tables·(1+bits) rows each and broadcast."""
     c = add_srp_buckets(df, dim, vec_col, bits, n_tables, seed)
     c = c.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec"),
@@ -146,7 +153,18 @@ def ann_topk(
     q = q.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("_qvec"),
-        F.posexplode("_buckets").alias("_tbl", "_bkt"),
+        F.posexplode("_buckets").alias("_tbl", "_bkt0"),
+    )
+    if multiprobe:
+        probe_set = F.array(
+            F.col("_bkt0"),
+            *[F.col("_bkt0").bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
+        )
+    else:
+        probe_set = F.array(F.col("_bkt0"))
+    q = q.select(
+        query_id_col, "_qvec", "_tbl",
+        F.explode(probe_set).alias("_bkt"),
     )
     cands = (
         c.join(F.broadcast(q), on=["_tbl", "_bkt"])

@@ -184,6 +184,17 @@ class TransformPlan:
                     "DETERMINISTIC_ENCRYPTION",
                 ):
                     errors.append(f"{where}: {exc}")
+                    continue
+            # dry-build the kernel: property errors (maskingChar length,
+            # date-shift bounds, FPE alphabet size, surrogate name) surface
+            # here, at validate time — ref's per-config validate() methods
+            # (MaskingTransformConfig.java:64-89 etc.)
+            try:
+                self._build_kernel(e)
+            except SpecValidationError:
+                raise
+            except ValueError as exc:
+                errors.append(f"{where}: {exc}")
         if errors:
             raise SpecValidationError("; ".join(errors))
 
@@ -206,54 +217,59 @@ class TransformPlan:
         return b""
 
     # -- compile ------------------------------------------------------------
+    def _build_kernel(self, e: FieldTransformSpec) -> "K.Kernel":
+        """Construct the kernel for one entry (property errors raise
+        ValueError; validate() collects them, compile() never sees them)."""
+        its = None if e.whole_value else e.info_types()
+        p = e.properties
+        key = self._key_of(e)
+        ctx = p.get("context")
+        if e.transform == "MASKING":
+            return K.masking(
+                masking_char=p.get("maskingChar", "*"),
+                number_to_mask=int(p.get("numberToMask", 0)),
+                reverse_order=bool(p.get("reverseOrder", False)),
+                chars_to_ignore=p.get("charsToIgnore"),
+                info_types=its,
+            )
+        if e.transform == "REPLACE_VALUE":
+            return K.replace_value(p.get("newValue"), info_types=its)
+        if e.transform == "REDACT":
+            return K.redact(info_types=its)
+        if e.transform == "CRYPTO_HASH":
+            return K.crypto_hash(key, info_types=its)
+        if e.transform == "DATE_SHIFT":
+            return K.date_shift(
+                key,
+                int(p.get("lowerBoundDays", 0)),
+                int(p.get("upperBoundDays", 0)),
+                context_field=ctx,
+            )
+        if e.transform == "FORMAT_PRESERVING_ENCRYPTION":
+            return K.fpe(
+                key,
+                alphabet=p.get("alphabet", "ALPHA_NUMERIC"),
+                custom_alphabet=p.get("customAlphabet"),
+                surrogate=p.get("surrogateInfoTypeName"),
+                context_field=ctx,
+                info_types=its,
+            )
+        if e.transform == "DETERMINISTIC_ENCRYPTION":
+            return K.deterministic_encryption(
+                key,
+                surrogate=p.get("surrogateInfoTypeName", ""),
+                context_field=ctx,
+                info_types=its,
+            )
+        raise SpecValidationError(f"unknown transform {e.transform}")
+
     def compile(self, schema: T.StructType) -> "CompiledPlan":
         """Validate, then build kernels. Returns the executable plan."""
         self.validate(schema)
         steps: list[CompiledStep] = []
         for e in self.entries:
-            its = None if e.whole_value else e.info_types()
-            p = e.properties
-            key = self._key_of(e)
-            ctx = p.get("context")
-            if e.transform == "MASKING":
-                kern = K.masking(
-                    masking_char=p.get("maskingChar", "*"),
-                    number_to_mask=int(p.get("numberToMask", 0)),
-                    reverse_order=bool(p.get("reverseOrder", False)),
-                    chars_to_ignore=p.get("charsToIgnore"),
-                    info_types=its,
-                )
-            elif e.transform == "REPLACE_VALUE":
-                kern = K.replace_value(p.get("newValue"), info_types=its)
-            elif e.transform == "REDACT":
-                kern = K.redact(info_types=its)
-            elif e.transform == "CRYPTO_HASH":
-                kern = K.crypto_hash(key, info_types=its)
-            elif e.transform == "DATE_SHIFT":
-                kern = K.date_shift(
-                    key,
-                    int(p.get("lowerBoundDays", 0)),
-                    int(p.get("upperBoundDays", 0)),
-                    context_field=ctx,
-                )
-            elif e.transform == "FORMAT_PRESERVING_ENCRYPTION":
-                kern = K.fpe(
-                    key,
-                    alphabet=p.get("alphabet", "ALPHA_NUMERIC"),
-                    custom_alphabet=p.get("customAlphabet"),
-                    surrogate=p.get("surrogateInfoTypeName"),
-                    context_field=ctx,
-                    info_types=its,
-                )
-            elif e.transform == "DETERMINISTIC_ENCRYPTION":
-                kern = K.deterministic_encryption(
-                    key,
-                    surrogate=p.get("surrogateInfoTypeName", ""),
-                    context_field=ctx,
-                    info_types=its,
-                )
-            else:  # pragma: no cover - validate() rejects first
-                raise SpecValidationError(f"unknown transform {e.transform}")
+            kern = self._build_kernel(e)
+            ctx = e.properties.get("context")
             for fname in e.fields:
                 steps.append(CompiledStep(field=fname, kernel=kern, context=ctx))
         return CompiledPlan(steps=steps)
