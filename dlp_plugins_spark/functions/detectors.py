@@ -39,13 +39,20 @@ def luhn_ok(digits: str) -> bool:
 
 @dataclass(frozen=True)
 class InfoType:
-    """A compiled detector: regex + optional per-match validator."""
+    """A compiled detector: regex + optional per-match validator.
+
+    ``prefilter``: an RE2-safe *superset* pattern (no lookarounds) used
+    for the vectorized C++ prescan; defaults to ``pattern`` when that is
+    already RE2-safe. The exact Python pass (with lookarounds +
+    validators) only runs on rows the prescan hits, so a superset here
+    costs recall nothing — only a few extra rows take the slow path."""
 
     name: str
     pattern: str
     flags: int = 0
     validator: Callable[[str], bool] | None = None
     description: str = ""
+    prefilter: str | None = None
     _compiled: list = field(default_factory=list, compare=False, repr=False)
 
     @property
@@ -87,6 +94,9 @@ PHONE_NUMBER = _register(InfoType(
     r"(?<![\w.+-])(?:\+\d{1,3}[ .\-]?)?(?:\(\d{3}\)[ .\-]?|\d{3}[ .\-])\d{3}[ .\-]\d{4}(?!\w)"
     r"|(?<![\w.+-])\+\d{7,15}\b",
     description="E.164 or US NANP phone number",
+    # lookarounds stripped: superset for the RE2 prescan
+    prefilter=r"(?:\+\d{1,3}[ .\-]?)?(?:\(\d{3}\)[ .\-]?|\d{3}[ .\-])\d{3}[ .\-]\d{4}"
+              r"|\+\d{7,15}",
 ))
 
 CREDIT_CARD_NUMBER = _register(InfoType(
@@ -100,6 +110,7 @@ US_SOCIAL_SECURITY_NUMBER = _register(InfoType(
     "US_SOCIAL_SECURITY_NUMBER",
     r"\b(?!000|666|9\d\d)\d{3}-(?!00)\d{2}-(?!0000)\d{4}\b",
     description="US SSN with area/group/serial validity",
+    prefilter=r"\b\d{3}-\d{2}-\d{4}\b",  # lookaheads stripped for RE2
 ))
 
 US_PASSPORT = _register(InfoType(
@@ -180,6 +191,8 @@ PRIVATE_KEY_BLOCK = _register(InfoType(
     r"-----BEGIN (?:RSA |EC |DSA |OPENSSH |PGP )?PRIVATE KEY(?: BLOCK)?-----"
     r"[\s\S]{0,4096}?-----END (?:RSA |EC |DSA |OPENSSH |PGP )?PRIVATE KEY(?: BLOCK)?-----",
     description="PEM private-key block",
+    # RE2 caps {m,n} at 1000; the BEGIN marker alone is a valid superset
+    prefilter=r"-----BEGIN (?:RSA |EC |DSA |OPENSSH |PGP )?PRIVATE KEY",
 ))
 
 JSON_WEB_TOKEN = _register(InfoType(
@@ -298,6 +311,52 @@ def union_pattern(names: list[str]) -> str:
         grp = "?i:" if it.flags & re.IGNORECASE else "?:"
         parts.append(f"({grp}{it.pattern})")
     return "|".join(parts)
+
+
+def prefilter_union(names: list[str]) -> str:
+    """RE2-safe superset union: each detector contributes its
+    ``prefilter`` (or ``pattern`` when already RE2-safe)."""
+    if not names:
+        raise ValueError("no infoTypes to compile")
+    parts = []
+    for n in names:
+        it = INFO_TYPES[n]
+        grp = "?i:" if it.flags & re.IGNORECASE else "?:"
+        parts.append(f"({grp}{it.prefilter or it.pattern})")
+    return "|".join(parts)
+
+
+class Prescan:
+    """Vectorized "any candidate finding?" test for a Series of strings.
+
+    Fast path: pyarrow's RE2 (``match_substring_regex`` — linear-time
+    C++, no per-row Python). Falls back to the compiled Python union on
+    the first RE2 failure (pattern rejected / pyarrow missing) and stays
+    there. Superset semantics: may flag rows with no validated finding,
+    never misses one — callers run the exact pass on flagged rows only."""
+
+    def __init__(self, names: list[str]):
+        self._re2_pattern = prefilter_union(names)
+        self._py_union = re.compile(union_pattern(names))
+        self._use_re2 = True
+
+    def __call__(self, values):  # pd.Series[str] -> pd.Series[bool]
+        import pandas as pd
+
+        if self._use_re2:
+            try:
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                arr = pa.Array.from_pandas(values, type=pa.string())
+                hit = pc.match_substring_regex(arr, self._re2_pattern)
+                hit = pc.fill_null(hit, False)
+                return pd.Series(
+                    hit.to_numpy(zero_copy_only=False), index=values.index
+                )
+            except Exception:
+                self._use_re2 = False
+        return values.str.contains(self._py_union, na=False)
 
 
 def detect(text: str, names: list[str]) -> dict[str, list[tuple[int, int]]]:

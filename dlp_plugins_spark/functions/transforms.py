@@ -26,7 +26,7 @@ from dataclasses import dataclass
 import pandas as pd
 
 from dlp_plugins_spark.functions import crypto
-from dlp_plugins_spark.functions.detectors import INFO_TYPES
+from dlp_plugins_spark.functions.detectors import INFO_TYPES, Prescan
 
 # ref widget charsToIgnoreEnum values
 # (widgets/SensitiveRecordRedaction-transform.json:148-181)
@@ -88,6 +88,15 @@ def _match_regex(info_types: list[str]) -> re.Pattern:
     return re.compile("|".join(pats))
 
 
+def _compiled(info_types: list[str]):
+    """(exact union regex, validator, RE2 prescan) for a detector set."""
+    return (
+        _match_regex(info_types),
+        _validators(info_types),
+        Prescan(info_types),
+    )
+
+
 def _validators(info_types: list[str]):
     """Per-match validation: a match is a finding if ANY selected detector
     validates it (plain-regex detectors validate trivially)."""
@@ -105,10 +114,16 @@ def _validators(info_types: list[str]):
     return ok
 
 
-def _per_match_apply(values: pd.Series, rx: re.Pattern, valid, fn) -> pd.Series:
-    """Apply ``fn(matched_text) -> str`` to validated matches; fast path
-    skips rows with no raw regex hit."""
-    hit = values.str.contains(rx, na=False)
+def _per_match_apply(values: pd.Series, rx: re.Pattern, valid, fn,
+                     prescan: "Prescan | None" = None) -> pd.Series:
+    """Apply ``fn(matched_text) -> str`` to validated matches.
+
+    The candidate test runs through ``prescan`` (RE2 via pyarrow — one
+    vectorized C++ pass, ~50x faster than the Python union); only rows it
+    flags take the exact Python ``rx.sub`` + validator path, so the
+    Python cost scales with the finding rate, not the corpus size."""
+    hit = prescan(values) if prescan is not None \
+        else values.str.contains(rx, na=False)
     if not hit.any():
         return values
     def sub_one(text: str) -> str:
@@ -152,13 +167,14 @@ def masking(
         ignore |= CHAR_CLASSES.get(c, set(c))
 
     if info_types:
-        rx, valid = _match_regex(info_types), _validators(info_types)
+        rx, valid, pre = _compiled(info_types)
 
         def fn(values: pd.Series, _ctx=None) -> pd.Series:
             return _per_match_apply(
                 values, rx, valid,
                 lambda t: mask_text(t, masking_char, number_to_mask,
                                     reverse_order, ignore),
+                pre,
             )
     elif number_to_mask <= 0:
         # whole-value, unbounded: vectorized str.translate
@@ -183,10 +199,10 @@ def replace_value(new_value: str, info_types: list[str] | None = None) -> Kernel
     if new_value is None:
         raise ValueError("newValue is required")
     if info_types:
-        rx, valid = _match_regex(info_types), _validators(info_types)
+        rx, valid, pre = _compiled(info_types)
 
         def fn(values: pd.Series, _ctx=None) -> pd.Series:
-            return _per_match_apply(values, rx, valid, lambda _t: new_value)
+            return _per_match_apply(values, rx, valid, lambda _t: new_value, pre)
     else:
         def fn(values: pd.Series, _ctx=None) -> pd.Series:
             out = values.copy()
@@ -198,10 +214,10 @@ def replace_value(new_value: str, info_types: list[str] | None = None) -> Kernel
 def redact(info_types: list[str] | None = None) -> Kernel:
     """REDACT — delete matched text (ref RedactTransformConfig.java:30-48)."""
     if info_types:
-        rx, valid = _match_regex(info_types), _validators(info_types)
+        rx, valid, pre = _compiled(info_types)
 
         def fn(values: pd.Series, _ctx=None) -> pd.Series:
-            return _per_match_apply(values, rx, valid, lambda _t: "")
+            return _per_match_apply(values, rx, valid, lambda _t: "", pre)
     else:
         def fn(values: pd.Series, _ctx=None) -> pd.Series:
             out = values.copy()
@@ -214,11 +230,11 @@ def crypto_hash(key: bytes, info_types: list[str] | None = None) -> Kernel:
     """CRYPTO_HASH — HMAC-SHA-256 hex
     (ref CryptoHashTransformationConfig.java:32-71)."""
     if info_types:
-        rx, valid = _match_regex(info_types), _validators(info_types)
+        rx, valid, pre = _compiled(info_types)
 
         def fn(values: pd.Series, _ctx=None) -> pd.Series:
             return _per_match_apply(
-                values, rx, valid, lambda t: crypto.crypto_hash(t, key)
+                values, rx, valid, lambda t: crypto.crypto_hash(t, key), pre
             )
     else:
         def fn(values: pd.Series, _ctx=None) -> pd.Series:
@@ -301,9 +317,9 @@ def fpe(
 
     def apply_with_tweak(values: pd.Series, tweaks: pd.Series | None):
         if info_types:
-            rx, valid = _match_regex(info_types), _validators(info_types)
+            rx, valid, pre = _compiled(info_types)
             if tweaks is None:
-                return _per_match_apply(values, rx, valid, enc_factory(""))
+                return _per_match_apply(values, rx, valid, enc_factory(""), pre)
             out = values.copy()
             mask = values.notna()
             out[mask] = [
@@ -351,9 +367,9 @@ def deterministic_encryption(
 
     def fn(values: pd.Series, ctx: pd.Series | None = None) -> pd.Series:
         if info_types:
-            rx, valid = _match_regex(info_types), _validators(info_types)
+            rx, valid, pre = _compiled(info_types)
             if ctx is None:
-                return _per_match_apply(values, rx, valid, enc_factory(""))
+                return _per_match_apply(values, rx, valid, enc_factory(""), pre)
             out = values.copy()
             mask = values.notna()
             out[mask] = [

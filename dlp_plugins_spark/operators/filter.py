@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from dlp_plugins_spark.functions.detectors import (
     INFO_TYPES,
+    Prescan,
     expand_groups,
     union_pattern,
 )
@@ -49,6 +50,12 @@ def sensitivity_predicate(filters: list[str]):
     if not names:
         raise ValueError("entire filter list expands to no infoTypes")
     union = re.compile(union_pattern(names))
+    prescan = Prescan(names)
+    # prescan is a superset (RE2-safe, no lookarounds): rows it flags
+    # still need the exact union pass when any detector uses lookarounds
+    exact_prescan = all(
+        INFO_TYPES[n].prefilter is None for n in names
+    )
     validated = [
         (INFO_TYPES[n].regex, INFO_TYPES[n].validator)
         for n in names
@@ -57,7 +64,13 @@ def sensitivity_predicate(filters: list[str]):
     plain = [INFO_TYPES[n].regex for n in names if INFO_TYPES[n].validator is None]
 
     def predicate(s: pd.Series) -> pd.Series:
-        hit = s.str.contains(union, na=False)
+        hit = prescan(s)
+        if not hit.any():
+            return hit
+        if not exact_prescan:
+            # confirm candidates with the exact (lookaround-bearing) union
+            hit = hit.copy()
+            hit[hit] = s[hit].str.contains(union, na=False)
         if not validated or not hit.any():
             return hit
         # rows whose only hits come from validator-bearing detectors need
