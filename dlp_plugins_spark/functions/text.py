@@ -174,15 +174,37 @@ def fingerprint_md5(col) -> Column:
     return F.md5(normalize_text(col))
 
 
-def shingles(col, k: int = 5) -> Column:
-    """Word k-shingles as an array<string> (JVM-side: split + transform +
-    slice + concat). Empty array when fewer than k words."""
-    words = F.split(normalize_text(col), " ")
-    n = F.size(words)
+def shingles_of_words(words, k: int = 5) -> Column:
+    """Word k-shingles from an already-materialized ``array<string>``
+    column. ``words`` MUST be a bound column attribute (not an inline
+    expression): the transform lambda references it ~3x and element-wise,
+    so an inline split/normalize pipeline would be recomputed per shingle
+    (measured 4x slowdown). Use ``with_shingle_set`` for the safe form."""
+    w = F.col(words) if isinstance(words, str) else words
+    n = F.size(w)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(-1)))
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            idx,
-            lambda i: F.array_join(F.slice(words, i + 1, k), " "),
-        )
+        F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, k), " "))
+    )
+
+
+def shingles(col, k: int = 5) -> Column:
+    """Word k-shingles as an array<string>. Convenience single-expression
+    form for small inputs/tests; hot paths use ``with_shingle_set`` so the
+    normalize+split pipeline is evaluated once per row, not per shingle."""
+    return shingles_of_words(F.split(normalize_text(col), " "), k)
+
+
+def with_shingle_set(df, text_col: str, k: int = 5,
+                     out: str = "_set", id_cols: list[str] | None = None):
+    """(id_cols..., ``out``: distinct word k-shingles) with the words
+    array materialized as a projection attribute first — the per-shingle
+    lambda then references the attribute, so normalize/split run once per
+    row. Keeps only ``id_cols`` (default: all other columns)."""
+    keep = id_cols if id_cols is not None else [
+        c for c in df.columns if c != text_col
+    ]
+    wdf = df.select(*keep, F.split(normalize_text(text_col), " ").alias("_w"))
+    return wdf.select(
+        *keep, F.array_distinct(shingles_of_words("_w", k)).alias(out)
     )

@@ -28,7 +28,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from dlp_plugins_spark.functions.text import fingerprint_md5, normalize_text, shingles
+from dlp_plugins_spark.functions.text import (
+    fingerprint_md5,
+    normalize_text,
+    shingles,
+    with_shingle_set,
+)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -79,10 +84,12 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 
     Rows with fewer than ``shingle_k`` words have no shingles and drop
     out (they cannot near-duplicate anything at this granularity)."""
-    sh = F.array_distinct(shingles(text_col, k=shingle_k))
-    exploded = df.select(
+    sets_df = with_shingle_set(df, text_col, k=shingle_k, out="_set",
+                               id_cols=[id_col])
+    exploded = sets_df.select(
         F.col(id_col),
-        F.explode(F.transform(sh, lambda s: F.xxhash64(s))).alias("_h"),
+        F.explode(F.transform(F.col("_set"), lambda s: F.xxhash64(s)))
+        .alias("_h"),
     )
     aggs = [
         F.min(F.xxhash64(F.col("_h"), F.lit(i), F.lit(seed))).alias(f"_mh{i}")
@@ -134,10 +141,20 @@ def exact_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         shingle_k: int = 5) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard (JVM array
-    intersect/union). Returns (a_id, b_id, jaccard)."""
-    sets_df = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(text_col, k=shingle_k)).alias("_set"),
+    intersect/union). Returns (a_id, b_id, jaccard).
+
+    Shingle sets are built only for docs that appear in a candidate pair
+    (semi-join first): verification cost scales with |candidates|, not
+    corpus size — the property that keeps this viable at 100 TB."""
+    cand_ids = (
+        pairs.select(F.col("a_id").alias(id_col))
+        .union(pairs.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    needed = df.join(cand_ids, on=id_col, how="left_semi")
+    sets_df = with_shingle_set(
+        needed.select(F.col(id_col).alias("_id"), text_col),
+        text_col, k=shingle_k, out="_set", id_cols=["_id"],
     )
     a = sets_df.alias("sa")
     b = sets_df.alias("sb")
