@@ -469,7 +469,280 @@ ORDER BY cosine DESC, a_id, b_id LIMIT 20
 """
 
 
+def q_finding_counts_by_lang(spark, sf_dir):
+    """inspectContent analogue: per-infoType finding counts, summed by
+    lang (ref SensitiveRecordFilter findings + metrics counters)."""
+    from dlp_plugins_spark.operators.filter import count_findings
+
+    docs = _pii_text(_read(spark, sf_dir, "documents"))
+    flagged = count_findings(docs, "text", ["EMAIL_ADDRESS"])
+    return flagged.groupBy("lang").agg(
+        F.sum(
+            F.coalesce(F.element_at("_findings", "EMAIL_ADDRESS"), F.lit(0))
+        ).alias("n_email_findings"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+SQL_FINDING_COUNTS = f"""
+SELECT lang,
+       sum(len(regexp_extract_all(text || {_PII_SUFFIX_SQL}, '{EMAIL_RE}')))
+         AS n_email_findings,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_split_whole_record(spark, sf_dir):
+    """Whole-record mode (field=None): record serialized as
+    comma-delimited text JVM-side, then inspected (ref
+    StructuredRecordStringConverter path)."""
+    docs = _pii_text(_read(spark, sf_dir, "documents"))
+    res = split_sensitive(docs, ["EMAIL_ADDRESS"], field=None)
+    return (
+        res.sensitive.agg(F.count("*").alias("n_sensitive"))
+        .crossJoin(res.non_sensitive.agg(F.count("*").alias("n_clean")))
+    )
+
+
+SQL_SPLIT_WHOLE_RECORD = f"""
+WITH d AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text, lang, source,
+                  n_chars FROM documents),
+rec AS (SELECT CAST(doc_id AS VARCHAR) || ',' || text || ',' || lang || ','
+               || source || ',' || CAST(n_chars AS VARCHAR) AS r FROM d)
+SELECT count(*) FILTER (WHERE regexp_matches(r, '{EMAIL_RE}')) AS n_sensitive,
+       count(*) FILTER (WHERE NOT regexp_matches(r, '{EMAIL_RE}')) AS n_clean
+FROM rec
+"""
+
+
+def q_parse_csv_orders(spark, sf_dir):
+    """Wrangler-stage parity (ref example-redaction-pipeline.json:57 —
+    parse-as-csv, rename, parse-as-simple-date): build a text body, parse
+    it back into typed columns with JVM builtins."""
+    orders = _read(spark, sf_dir, "orders")
+    body = orders.select(
+        F.concat_ws(
+            ",", "o_orderkey", "o_orderstatus",
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        ).alias("body")
+    )
+    parts = body.select(F.split("body", ",").alias("p"))
+    return parts.select(
+        F.col("p")[0].cast("bigint").alias("orderkey"),
+        F.col("p")[1].alias("status"),
+        # parse-as-simple-date then render back to ISO string: pandas
+        # date-vs-datetime64 repr differs between Spark and DuckDB, so the
+        # comparator-facing column is a string on both sides
+        F.date_format(F.to_date(F.col("p")[2]), "yyyy-MM-dd")
+        .alias("orderdate"),
+    )
+
+
+SQL_PARSE_CSV_ORDERS = """
+SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM orders
+"""
+
+
+def q_rollup_revenue(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust),
+                         orders.o_custkey == cust.c_custkey)
+    return (
+        joined.rollup("c_mktsegment", "o_orderstatus")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n", "revenue",
+        )
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+"""
+
+
+def q_q3_shipping(spark, sf_dir):
+    """TPC-H Q3-shaped 3-table join: the query-depth benchmark."""
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3_SHIPPING = """
+SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_char_ngram_jaccard(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    ids = docs.select(F.col("doc_id").alias("_i"))
+    pairs = (
+        ids.alias("x").join(ids.alias("y"),
+                            F.col("x._i") < F.col("y._i"))
+        .select(F.col("x._i").alias("a_id"), F.col("y._i").alias("b_id"))
+    )
+    out = D.char_ngram_jaccard_pairs(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")),
+        pairs, n=3)
+    return out.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_CHAR_NGRAM_JACCARD = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([substring(lower(text), i, 3)
+                        for i in range(1, length(text) - 1)]) AS s
+  FROM documents WHERE doc_id < 10)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)), 6) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+"""
+
+
 # ---- non-SQL-expressible (rows-only checks) --------------------------------
+
+def q_crypto_hash_langs(spark, sf_dir):
+    """CRYPTO_HASH (HMAC-SHA-256, fixed engine key) of a whole field —
+    no HMAC in DuckDB, rows-only; kernel correctness vs python hmac is
+    tests/test_kernels.py."""
+    docs = _read(spark, sf_dir, "documents")
+    out = apply_transforms(docs, [{
+        "transform": "CRYPTO_HASH", "fields": "lang", "filters": "NONE",
+        "transformProperties": {"keyType": "TRANSIENT", "name": "entry-hash"},
+    }])
+    return out.select("doc_id", F.col("lang").alias("lang_hmac"))
+
+
+def q_fpe_roundtrip(spark, sf_dir):
+    """FF1 FPE encrypt -> surrogate token -> decrypt round-trip over a
+    numeric-alphabet column; `ok` must be true for every row."""
+    from dlp_plugins_spark.operators.decrypt import apply_decrypt
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", F.lpad(F.col("user_id").cast("string"), 8, "0").alias("uid"))
+    spec = [{
+        "transform": "FORMAT_PRESERVING_ENCRYPTION", "fields": "uid",
+        "filters": "NONE",
+        "transformProperties": {
+            "keyType": "TRANSIENT", "name": "entry-fpe",
+            "alphabet": "NUMERIC", "surrogateInfoTypeName": "UID_TOKEN",
+        },
+    }]
+    enc = apply_transforms(ev, spec).withColumnRenamed("uid", "uid_enc")
+    dec = apply_decrypt(
+        enc.withColumn("uid", F.col("uid_enc")), spec
+    ).withColumnRenamed("uid", "uid_dec")
+    orig = F.lpad(F.col("user_id").cast("string"), 8, "0")
+    joined = dec.join(_read(spark, sf_dir, "events"), "event_id")
+    return joined.select(
+        "event_id", "uid_enc", "uid_dec",
+        (F.col("uid_dec") == orig).alias("ok"),
+    )
+
+
+def q_det_encrypt_roundtrip(spark, sf_dir):
+    """AES-SIV deterministic encryption round-trip with surrogate
+    annotation (ref decrypt path, SensitiveRecordDecrypt.java:163-212)."""
+    from dlp_plugins_spark.operators.decrypt import apply_decrypt
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    spec = [{
+        "transform": "DETERMINISTIC_ENCRYPTION", "fields": "source",
+        "filters": "NONE",
+        "transformProperties": {
+            "keyType": "TRANSIENT", "name": "entry-det",
+            "surrogateInfoTypeName": "SRC_TOKEN",
+        },
+    }]
+    enc = apply_transforms(docs, spec).withColumnRenamed("source", "src_enc")
+    dec = apply_decrypt(
+        enc.withColumn("source", F.col("src_enc")), spec
+    ).withColumnRenamed("source", "src_dec")
+    joined = dec.join(_read(spark, sf_dir, "documents"), "doc_id")
+    return joined.select(
+        "doc_id", "src_enc",
+        (F.col("src_dec") == F.col("source")).alias("ok"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: synthetic opaque binary payloads ->
+    Arrow-batched feature extraction (decode step is the deterministic
+    fake; real codecs are stubbed, see operators/multimodal.py)."""
+    from dlp_plugins_spark.operators.multimodal import (
+        extract_features, synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=256)
+    return extract_features(media, fake_decode=True).select(
+        "media_id", "sha256", "n_bytes", "width", "height")
+
+
+def q_media_frames(spark, sf_dir):
+    """Row-expanding mapInPandas contract (frame sampling)."""
+    from dlp_plugins_spark.operators.multimodal import (
+        sample_frames, synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=128)
+    return sample_frames(media, every_n=2).groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.min("frame_idx").alias("first_frame"),
+    )
+
+
+def q_cdc_schema_evolution(spark, sf_dir):
+    """Additive schema evolution mid-stream: lang_version appears at
+    lsn>=1500; earlier rows read back as null through the evolved
+    schema (rows-only; full assertions in tests/test_cdc.py)."""
+    payload = T.StructType([
+        f for f in B.BINLOG_SCHEMA.fields
+        if f.name not in ("op", "lsn", "batch_id")
+    ])
+    tdir = tempfile.mkdtemp(prefix="entry_evo_")
+    table = LakeTable.create(os.path.join(tdir, "t"), payload, B.TABLE_KEY,
+                             n_buckets=8)
+    replay(spark, table, 0, 3000, batch_size=1000,
+           gen_kwargs=dict(n_repos=20, paths_per_repo=30),
+           extra_col_from_lsn=1500)
+    return (
+        table.read(spark)
+        .select("repo", "path", "_lsn", "lang_version")
+        .orderBy("repo", "path")
+    )
+
 
 def q_minhash_near_dup_pairs(spark, sf_dir):
     # 8 bands x 8 rows: P(candidate | J=0.3) per band = J^8 ~ 7e-5, so the
@@ -541,11 +814,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_mktsegment": q_revenue_by_mktsegment,
         "q1_lineitem": q_q1_lineitem,
         "top5_orders_per_status": q_top5_orders_per_status,
+        # detection / metrics / record-mode (SURVEY.md §2.3, §2.5)
+        "finding_counts_by_lang": q_finding_counts_by_lang,
+        "split_whole_record": q_split_whole_record,
+        # pipeline-stage parity + relational depth
+        "parse_csv_orders": q_parse_csv_orders,
+        "rollup_revenue": q_rollup_revenue,
+        "q3_shipping": q_q3_shipping,
         # text analysis
         "token_stats_by_lang": q_token_stats_by_lang,
         "quality_by_source": q_quality_by_source,
         # dedup & similarity
         "exact_dedup_groups": q_exact_dedup_groups,
+        "char_ngram_jaccard": q_char_ngram_jaccard,
         "brute_force_topk": q_brute_force_topk,
         "top_similar_pairs": q_top_similar_pairs,
         # rows-only (approximate / engine-native)
@@ -554,6 +835,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": q_lang_detect,
         "ann_topk_lsh": q_ann_topk_lsh,
         "cdc_replay_state": q_cdc_replay_state,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
+        "crypto_hash_langs": q_crypto_hash_langs,
+        "fpe_roundtrip": q_fpe_roundtrip,
+        "det_encrypt_roundtrip": q_det_encrypt_roundtrip,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
     }
 
 
@@ -578,4 +865,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_groups": SQL_EXACT_DEDUP_GROUPS,
         "brute_force_topk": SQL_BRUTE_FORCE_TOPK,
         "top_similar_pairs": SQL_TOP_SIMILAR_PAIRS,
+        "finding_counts_by_lang": SQL_FINDING_COUNTS,
+        "split_whole_record": SQL_SPLIT_WHOLE_RECORD,
+        "parse_csv_orders": SQL_PARSE_CSV_ORDERS,
+        "rollup_revenue": SQL_ROLLUP_REVENUE,
+        "q3_shipping": SQL_Q3_SHIPPING,
+        "char_ngram_jaccard": SQL_CHAR_NGRAM_JACCARD,
     }

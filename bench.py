@@ -27,27 +27,35 @@ import time
 from dlp_plugins_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "400000"))
-BATCH = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "100000"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+BATCH = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "250000"))
 
 BENCH_QUERIES = [
     "redact_emails",
     "mask_keep_digits_ws",
     "split_sensitive_by_lang",
+    "split_whole_record",
+    "finding_counts_by_lang",
     "date_shift_events",
+    "crypto_hash_langs",
+    "fpe_roundtrip",
     "lww_latest_event_per_user",
     "cdc_final_state_users",
     "agg_events_by_type",
     "revenue_by_mktsegment",
     "q1_lineitem",
+    "q3_shipping",
+    "rollup_revenue",
     "top5_orders_per_status",
     "token_stats_by_lang",
     "quality_by_source",
     "exact_dedup_groups",
+    "char_ngram_jaccard",
     "minhash_near_dup_pairs",
     "simhash_docs",
     "brute_force_topk",
     "ann_topk_lsh",
+    "media_features",
 ]
 
 

@@ -183,21 +183,31 @@ class LakeTable:
             .repartition(max(len(touched_buckets), 1), "bucket")
             .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
 
-        files: list[dict] = []
-        bucket_rows: dict[str, int] = {}
+        # footer reads are tiny but add up serially (64+ per commit);
+        # a thread pool keeps the driver-side commit latency flat
+        todo: list[tuple[int, str]] = []
         for b in touched_buckets:
             bdir = os.path.join(out_dir, f"bucket={b}")
             if not os.path.isdir(bdir):
                 continue
-            parts = [p for p in os.listdir(bdir) if p.endswith(".parquet")]
-            nrows = 0
-            for p in parts:
-                rel = os.path.join(rel_dir, f"bucket={b}", p)
-                # row count from parquet footer (cheap, no Spark job)
-                nrows_f = pq.ParquetFile(os.path.join(self.path, rel)).metadata.num_rows
+            for p in os.listdir(bdir):
+                if p.endswith(".parquet"):
+                    todo.append((b, os.path.join(rel_dir, f"bucket={b}", p)))
+
+        def _rows(rel: str) -> int:
+            # row count from parquet footer (cheap, no Spark job)
+            return pq.ParquetFile(os.path.join(self.path, rel)).metadata.num_rows
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        files: list[dict] = []
+        bucket_rows: dict[str, int] = {}
+        if todo:
+            with ThreadPoolExecutor(max_workers=min(16, len(todo))) as ex:
+                counts = list(ex.map(_rows, [rel for _, rel in todo]))
+            for (b, rel), nrows_f in zip(todo, counts):
                 files.append({"path": rel, "bucket": b, "rows": nrows_f})
-                nrows += nrows_f
-            bucket_rows[str(b)] = nrows
+                bucket_rows[str(b)] = bucket_rows.get(str(b), 0) + nrows_f
 
         touched = set(touched_buckets)
         kept = [f for f in prev.files if f["bucket"] not in touched]

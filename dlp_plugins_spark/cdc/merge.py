@@ -73,6 +73,7 @@ def merge_batch(
     batch: DataFrame,
     batch_ids: list[int],
     salted: bool = False,
+    transform=None,
 ) -> MergeStats | None:
     """Apply one micro-batch to the lake table, committing a snapshot.
 
@@ -81,19 +82,40 @@ def merge_batch(
     table's (additive schema evolution): new nullable columns are adopted
     into the table schema; existing rows read back as null.
 
-    Returns None when the whole batch was already applied (replay)."""
+    ``transform``: optional DataFrame->DataFrame stage (the DLP apply
+    stage) run on the fresh rows INSIDE the merge job — see below.
+
+    Returns None when the whole batch was already applied (replay).
+
+    Per-batch job anatomy (kept to TWO Spark jobs; serial driver time
+    between jobs is what kills N->4N scaling):
+      J1 (stats): per-bucket counts + lsn range + op counts over the
+          RAW batch — pure JVM scan+agg, no Python stage, no caching.
+          Also yields the touched-bucket set, so no separate
+          distinct-collect job.
+      J2 (merge+write): union(current rows of touched buckets,
+          transform(batch)) -> groupBy(key).max_by(lsn) -> drop deletes
+          -> write. The expensive Python transform runs exactly once,
+          pipelined inside this one fully-parallel job — nothing is
+          persisted, so no materialization barrier.
+    The within-batch LWW pre-dedup is intentionally ABSENT: the merge
+    aggregation already picks the max-LSN row among current + all batch
+    duplicates, and max_by's map-side partial aggregation neutralizes
+    hot keys before the shuffle — a separate dedup pass would add a
+    full extra shuffle for zero semantic gain. ``salted=True`` keeps a
+    pre-reduce for pathological single-key batches."""
     spark = batch.sparkSession
     snap = table.current_snapshot()
 
     # ---- exactly-once: drop already-applied batches/rows -------------------
     if batch_ids and all(table.is_batch_applied(b, snap) for b in batch_ids):
         return None
-    # persist: the batch pipeline includes the (Python) DLP apply stage —
-    # computing it once and caching beats re-running it for stats + merge.
-    fresh = batch.filter(table.applied_filter(snap)).persist()
+    fresh = batch.filter(table.applied_filter(snap)).withColumn(
+        "_bucket", key_bucket_expr(table.key_cols, table.n_buckets)
+    )
 
-    # ---- ONE stats job: count, lsn range, per-op counts ---------------------
-    stats = fresh.agg(
+    # ---- J1: per-bucket stats on the raw batch (JVM-only, cheap) -----------
+    stats_rows = fresh.groupBy("_bucket").agg(
         F.count("*").alias("n"),
         F.min(LSN_COL).alias("lo"),
         F.max(LSN_COL).alias("hi"),
@@ -101,21 +123,34 @@ def merge_batch(
             F.sum(F.when(F.col(OP_COL) == o, 1).otherwise(0)).alias(f"n_{o}")
             for o in ("I", "U", "D")
         ],
-    ).first()
-    n_batch = stats["n"]
-    if n_batch == 0:
-        fresh.unpersist()
+    ).collect()
+    if not stats_rows:
         return None
-    lo, hi = stats["lo"], stats["hi"]
-    op_counts = {o: stats[f"n_{o}"] for o in ("I", "U", "D") if stats[f"n_{o}"]}
-    deduped = lww_dedup(fresh, table.key_cols, salted=salted)
+    touched = [r["_bucket"] for r in stats_rows]
+    n_batch = sum(r["n"] for r in stats_rows)
+    lo = min(r["lo"] for r in stats_rows)
+    hi = max(r["hi"] for r in stats_rows)
+    op_counts = {
+        o: s for o in ("I", "U", "D")
+        if (s := sum(r[f"n_{o}"] for r in stats_rows))
+    }
+
+    if transform is not None:
+        # A micro-batch segment is often 1-2 parquet splits (<= a couple
+        # hundred MB), which would cap the Python transform stage at 1-2
+        # tasks no matter the cluster size. One cheap round-robin
+        # repartition of the (small) batch unlocks full parallelism for
+        # the expensive stage — this is what makes N->4N scale.
+        n_slots = spark.sparkContext.defaultParallelism
+        fresh = fresh.repartition(n_slots * 2)
+        fresh = transform(fresh)
 
     # ---- schema evolution: adopt new nullable payload columns --------------
     table_schema = snap.schema()
     table_cols = set(table_schema.fieldNames())
     payload_fields = [
-        f for f in deduped.schema.fields
-        if f.name not in (OP_COL, "batch_id") and f.name != LSN_COL
+        f for f in fresh.schema.fields
+        if f.name not in (OP_COL, "batch_id", "_bucket") and f.name != LSN_COL
     ]
     new_fields = [
         T.StructField(f.name, f.dataType, True)
@@ -123,43 +158,35 @@ def merge_batch(
     ]
     evolved_schema = T.StructType(table_schema.fields + new_fields)
 
-    # ---- touched buckets ----------------------------------------------------
-    deduped = deduped.withColumn(
+    # ---- J2: single-aggregation MERGE + write -------------------------------
+    current = table.read(spark, buckets=touched, snapshot=snap)
+    current = current.withColumn(OP_COL, F.lit("U")).withColumn(
         "_bucket", key_bucket_expr(table.key_cols, table.n_buckets)
-    ).persist()
-    try:
-        touched = [r["_bucket"] for r in deduped.select("_bucket").distinct().collect()]
+    ).withColumnRenamed("_lsn", LSN_COL)
 
-        # ---- single-aggregation MERGE ---------------------------------------
-        current = table.read(spark, buckets=touched, snapshot=snap)
-        current = current.withColumn(OP_COL, F.lit("U")).withColumn(
-            "_bucket", key_bucket_expr(table.key_cols, table.n_buckets)
-        ).withColumnRenamed("_lsn", LSN_COL)
+    batch_side = fresh.drop("batch_id")
+    if salted:
+        batch_side = lww_dedup(batch_side, table.key_cols, salted=True)
+    unioned = current.unionByName(batch_side, allowMissingColumns=True)
+    out_cols = [f.name for f in evolved_schema.fields if f.name != "_lsn"]
+    row = F.struct(*[F.col(c) for c in out_cols + [LSN_COL, OP_COL, "_bucket"]])
+    winners = (
+        unioned.groupBy(*table.key_cols)
+        .agg(F.max_by(row, F.col(LSN_COL)).alias("_r"))
+        .select("_r.*")
+        .filter(F.col(OP_COL) != DELETE)
+        .withColumnRenamed(LSN_COL, "_lsn")
+        .drop(OP_COL)
+    )
 
-        batch_side = deduped.drop("batch_id")
-        unioned = current.unionByName(batch_side, allowMissingColumns=True)
-        out_cols = [f.name for f in evolved_schema.fields if f.name != "_lsn"]
-        row = F.struct(*[F.col(c) for c in out_cols + [LSN_COL, OP_COL, "_bucket"]])
-        winners = (
-            unioned.groupBy(*table.key_cols)
-            .agg(F.max_by(row, F.col(LSN_COL)).alias("_r"))
-            .select("_r.*")
-            .filter(F.col(OP_COL) != DELETE)
-            .withColumnRenamed(LSN_COL, "_lsn")
-            .drop(OP_COL)
-        )
-
-        new_snap_stats = table.commit_merge(
-            winners,
-            touched_buckets=touched,
-            lsn_range=(int(lo), int(hi)),
-            batch_ids=batch_ids,
-            schema=evolved_schema,
-            lineage_extra={"op_counts": op_counts, "batch_rows": n_batch},
-        )
-    finally:
-        deduped.unpersist()
-        fresh.unpersist()
+    table.commit_merge(
+        winners,
+        touched_buckets=touched,
+        lsn_range=(int(lo), int(hi)),
+        batch_ids=batch_ids,
+        schema=evolved_schema,
+        lineage_extra={"op_counts": op_counts, "batch_rows": n_batch},
+    )
     return MergeStats(
         batch_rows=n_batch,
         deduped_rows=-1,  # not recounted: avoid an extra job on the hot path

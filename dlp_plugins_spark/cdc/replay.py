@@ -98,10 +98,12 @@ def replay(
         if out_of_order:
             batch = B.shuffle_within_batch(batch)
         t_b = time.monotonic()
-        # DLP apply stage (vectorized; schema-preserving)
-        if spec:
-            batch = apply_transforms(batch, spec)
-        stats = merge_batch(table, batch, batch_ids=[bid], salted=salted)
+        # DLP apply stage (vectorized; schema-preserving) runs INSIDE the
+        # merge job on fresh rows only — after the exactly-once filter,
+        # pipelined with the merge shuffle (no persist barrier).
+        tf = (lambda df: apply_transforms(df, spec)) if spec else None
+        stats = merge_batch(table, batch, batch_ids=[bid], salted=salted,
+                            transform=tf)
         dt = time.monotonic() - t_b
         if stats is None:
             metrics.skipped_batches += 1

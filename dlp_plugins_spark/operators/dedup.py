@@ -190,6 +190,53 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def char_ngram_set(df: DataFrame, text_col: str, n: int = 3,
+                   out: str = "_ngrams",
+                   id_cols: list[str] | None = None) -> DataFrame:
+    """Distinct lowercase character n-grams as array<string>, JVM-side.
+    The lowered text is materialized as an attribute first (same
+    projection-collapse hazard as shingles)."""
+    keep = id_cols if id_cols is not None else [
+        c for c in df.columns if c != text_col
+    ]
+    low = df.select(*keep, F.lower(F.col(text_col)).alias("_t"))
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length("_t") - F.lit(n - 1), F.lit(0))
+    )
+    grams = F.transform(idx, lambda i: F.substring(F.col("_t"), i, n))
+    return low.select(*keep, F.array_distinct(grams).alias(out))
+
+
+def char_ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             n: int = 3) -> DataFrame:
+    """Exact character-n-gram Jaccard for given (a_id, b_id) pairs —
+    the finer-grained verifier tier (word shingles miss small in-word
+    edits). Same candidate-pruned shape as exact_jaccard_pairs."""
+    cand_ids = (
+        pairs.select(F.col("a_id").alias(id_col))
+        .union(pairs.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    needed = df.join(cand_ids, on=id_col, how="left_semi")
+    sets_df = char_ngram_set(
+        needed.select(F.col(id_col).alias("_id"), text_col),
+        text_col, n=n, out="_set", id_cols=["_id"],
+    )
+    a, b = sets_df.alias("ga"), sets_df.alias("gb")
+    joined = (
+        pairs.join(a, pairs.a_id == F.col("ga._id"))
+        .join(b, pairs.b_id == F.col("gb._id"))
+    )
+    inter = F.size(F.array_intersect(F.col("ga._set"), F.col("gb._set")))
+    union = F.size(F.array_union(F.col("ga._set"), F.col("gb._set")))
+    return joined.select(
+        "a_id", "b_id",
+        F.when(union > 0, inter.cast("double") / union)
+        .otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
