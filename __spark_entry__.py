@@ -650,8 +650,12 @@ def q_fpe_roundtrip(spark, sf_dir):
     numeric-alphabet column; `ok` must be true for every row."""
     from dlp_plugins_spark.operators.decrypt import apply_decrypt
 
-    ev = _read(spark, sf_dir, "events").select(
-        "event_id", F.lpad(F.col("user_id").cast("string"), 8, "0").alias("uid"))
+    # deterministic transform over a repeating column: encrypt the
+    # DISTINCT values only (dictionary pattern — at 100 TB you join the
+    # small cipher dictionary back rather than FF1-ing every row)
+    uids = _read(spark, sf_dir, "events").select(
+        F.lpad(F.col("user_id").cast("string"), 8, "0").alias("uid")
+    ).distinct()
     spec = [{
         "transform": "FORMAT_PRESERVING_ENCRYPTION", "fields": "uid",
         "filters": "NONE",
@@ -660,15 +664,14 @@ def q_fpe_roundtrip(spark, sf_dir):
             "alphabet": "NUMERIC", "surrogateInfoTypeName": "UID_TOKEN",
         },
     }]
-    enc = apply_transforms(ev, spec).withColumnRenamed("uid", "uid_enc")
+    enc = apply_transforms(uids.withColumn("uid_orig", F.col("uid")), spec) \
+        .withColumnRenamed("uid", "uid_enc")
     dec = apply_decrypt(
         enc.withColumn("uid", F.col("uid_enc")), spec
     ).withColumnRenamed("uid", "uid_dec")
-    orig = F.lpad(F.col("user_id").cast("string"), 8, "0")
-    joined = dec.join(_read(spark, sf_dir, "events"), "event_id")
-    return joined.select(
-        "event_id", "uid_enc", "uid_dec",
-        (F.col("uid_dec") == orig).alias("ok"),
+    return dec.select(
+        F.col("uid_orig"), "uid_enc", "uid_dec",
+        (F.col("uid_dec") == F.col("uid_orig")).alias("ok"),
     )
 
 
