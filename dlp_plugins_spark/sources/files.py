@@ -1,0 +1,66 @@
+"""File sources/sinks mirroring the reference's host-pipeline stages.
+
+The reference repo ships no source/sink code; its example pipelines use
+a GCSFile batch source in ``text`` format with schema
+``(offset: long, body: string)`` (examples/example-redaction-pipeline
+.json:14-34) and a GCS sink in ``json`` format with a time-suffixed
+path (:111-137). These helpers provide the same shapes on any
+Hadoop-visible filesystem.
+
+Scale notes: the text reader assigns offsets with a window ordered by a
+per-partition monotonic id — correct per file because the Spark text
+source preserves line order within a file split; for multi-GB single
+files (several splits) the offset is still unique and order-preserving
+per (file, split) but is a LINE INDEX, not a byte offset (the reference
+emits byte offsets; a deployment needing byte fidelity would carry
+``length(body)+1`` running sums per file — documented divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def read_text(spark: SparkSession, path: str,
+              with_file: bool = False) -> DataFrame:
+    """Text source, reference schema ``(offset: long, body: string)``.
+
+    ``with_file=True`` keeps the source file path column for multi-file
+    reads (the reference's single-object reads don't need it)."""
+    raw = (
+        spark.read.text(path)
+        .select(
+            F.input_file_name().alias("_file"),
+            F.monotonically_increasing_id().alias("_mid"),
+            F.col("value").alias("body"),
+        )
+    )
+    w = Window.partitionBy("_file").orderBy("_mid")
+    out = raw.select(
+        (F.row_number().over(w) - 1).cast("long").alias("offset"),
+        "body",
+        F.col("_file").alias("file"),
+    )
+    return out if with_file else out.select("offset", "body")
+
+
+def write_json(df: DataFrame, path: str, suffix: str | None = None,
+               mode: str = "overwrite") -> str:
+    """JSON sink with optional path suffix (the reference sink appends a
+    time-format suffix; here the caller passes an explicit deterministic
+    suffix — no wall clock in the engine)."""
+    target = f"{path.rstrip('/')}/{suffix}" if suffix else path
+    df.write.mode(mode).json(target)
+    return target
+
+
+def read_csv_typed(spark: SparkSession, path: str, schema,
+                   header: bool = False, sep: str = ",") -> DataFrame:
+    """CSV source with a declared schema (deploy-time-validated, like all
+    reference stages — no runtime inference surprises)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )

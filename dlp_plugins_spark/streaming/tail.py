@@ -1,0 +1,90 @@
+"""Structured Streaming binlog tail: the continuous form of the replay
+driver.
+
+The batch replay loop (cdc/replay.py) is the deterministic benchmark
+surface; this module is the deployment surface — a file-source stream
+over committed binlog segment files, applied to the lake table through
+``foreachBatch`` with the SAME merge path, so the two agree row-for-row.
+
+Semantics:
+- the parquet file source discovers newly committed segment files;
+  ``maxFilesPerTrigger`` bounds micro-batch size;
+- every micro-batch runs ``merge_batch`` with the DLP transform
+  pipelined inside (identical to batch replay), deriving batch ids from
+  the LSNs present, so the lake table's manifest — NOT the Spark
+  checkpoint — remains the source of truth for exactly-once: replaying
+  a segment (stream restart, checkpoint loss, duplicate file) is
+  filtered by applied-LSN ranges before any write;
+- ordering: LWW by LSN makes arrival order irrelevant, so the file
+  source's nondeterministic discovery order is safe.
+
+At cluster scale the same code runs against a cloud-storage segment
+directory; the Spark checkpoint adds source-offset resume on top of the
+manifest's idempotence (belt and braces: either alone is sufficient for
+correctness, together they also avoid re-reading old segments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dlp_plugins_spark.cdc.binlog import BINLOG_SCHEMA
+from dlp_plugins_spark.cdc.lake import LakeTable
+from dlp_plugins_spark.cdc.merge import merge_batch
+from dlp_plugins_spark.cdc.replay import DEFAULT_TRANSFORM_SPEC
+from dlp_plugins_spark.operators.redaction import apply_transforms
+
+
+def stream_binlog(
+    spark: SparkSession,
+    segment_dir: str,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """File-source stream over committed binlog segment parquet files."""
+    return (
+        spark.readStream.schema(BINLOG_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(segment_dir)
+    )
+
+
+def stream_replay(
+    spark: SparkSession,
+    table: LakeTable,
+    segment_dir: str,
+    checkpoint_dir: str,
+    transform_spec=None,
+    batch_lsn_size: int = 100_000,
+    max_files_per_trigger: int = 4,
+):
+    """Start the streaming replay; returns the StreamingQuery.
+
+    Callers use ``q.processAllAvailable()`` for a drain-then-assert test
+    or ``q.awaitTermination()`` in a deployment.
+
+    ``transform_spec`` defaults to the same DLP stage as the batch
+    replay driver (stream and batch must produce identical bytes); pass
+    ``[]`` explicitly for a transform-free tail."""
+    spec = (transform_spec if transform_spec is not None
+            else DEFAULT_TRANSFORM_SPEC)
+
+    def apply_micro_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tf = (lambda df: apply_transforms(df, spec)) if spec else None
+        # batch ids derive from data, not epoch: the manifest check stays
+        # valid across stream restarts that re-chunk the source
+        bids = [
+            r["batch_id"]
+            for r in batch_df.select("batch_id").distinct().collect()
+        ]
+        merge_batch(table, batch_df, batch_ids=sorted(bids), transform=tf)
+
+    return (
+        stream_binlog(spark, segment_dir, max_files_per_trigger)
+        .writeStream
+        .foreachBatch(apply_micro_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
