@@ -631,7 +631,62 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
 """
 
 
+def q_split_error_port(spark, sf_dir):
+    """On-error routing (ref SensitiveRecordFilter.java:351-358): docs
+    whose payload exceeds the inspect limit go to the error port; the
+    rest classify normally. max_bytes=450 makes all three ports
+    non-trivial on this corpus."""
+    docs = _pii_text(_read(spark, sf_dir, "documents"))
+    res = split_sensitive(docs, ["EMAIL_ADDRESS"], field="text",
+                          on_error="error-port", max_bytes=450)
+    return (
+        res.sensitive.agg(F.count("*").alias("n_sensitive"))
+        .crossJoin(res.non_sensitive.agg(F.count("*").alias("n_clean")))
+        .crossJoin(res.errors.agg(F.count("*").alias("n_error")))
+    )
+
+
+SQL_SPLIT_ERROR_PORT = f"""
+WITH d AS (SELECT text || {_PII_SUFFIX_SQL} AS t FROM documents)
+SELECT count(*) FILTER (WHERE octet_length(encode(t)) <= 450
+                        AND regexp_matches(t, '{EMAIL_RE}')) AS n_sensitive,
+       count(*) FILTER (WHERE octet_length(encode(t)) <= 450
+                        AND NOT regexp_matches(t, '{EMAIL_RE}')) AS n_clean,
+       count(*) FILTER (WHERE octet_length(encode(t)) > 450) AS n_error
+FROM d
+"""
+
+
+def q_exact_dedup_keep(spark, sf_dir):
+    """exact_dedup survivor set: one min-id representative per
+    normalized-content fingerprint."""
+    docs = _read(spark, sf_dir, "documents")
+    return D.exact_dedup(docs).select("doc_id", "lang", "source")
+
+
+SQL_EXACT_DEDUP_KEEP = r"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
+           ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn = 1
+"""
+
+
 # ---- non-SQL-expressible (rows-only checks) --------------------------------
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via SRP bucket collisions +
+    exact verify (approximate recall — rows-only; the exact pair query
+    top_similar_pairs is the oracle-checked baseline)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup(emb, dim=64, threshold=0.6, bits=8,
+                                n_tables=6).select(
+        "a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
 
 def q_crypto_hash_langs(spark, sf_dir):
     """CRYPTO_HASH (HMAC-SHA-256, fixed engine key) of a whole field —
@@ -820,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # detection / metrics / record-mode (SURVEY.md §2.3, §2.5)
         "finding_counts_by_lang": q_finding_counts_by_lang,
         "split_whole_record": q_split_whole_record,
+        "split_error_port": q_split_error_port,
         # pipeline-stage parity + relational depth
         "parse_csv_orders": q_parse_csv_orders,
         "rollup_revenue": q_rollup_revenue,
@@ -829,10 +885,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_source": q_quality_by_source,
         # dedup & similarity
         "exact_dedup_groups": q_exact_dedup_groups,
+        "exact_dedup_keep": q_exact_dedup_keep,
         "char_ngram_jaccard": q_char_ngram_jaccard,
         "brute_force_topk": q_brute_force_topk,
         "top_similar_pairs": q_top_similar_pairs,
         # rows-only (approximate / engine-native)
+        "embedding_near_dup": q_embedding_near_dup,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "simhash_docs": q_simhash_docs,
         "lang_detect": q_lang_detect,
@@ -870,6 +928,8 @@ def oracle_sql() -> dict[str, str]:
         "top_similar_pairs": SQL_TOP_SIMILAR_PAIRS,
         "finding_counts_by_lang": SQL_FINDING_COUNTS,
         "split_whole_record": SQL_SPLIT_WHOLE_RECORD,
+        "split_error_port": SQL_SPLIT_ERROR_PORT,
+        "exact_dedup_keep": SQL_EXACT_DEDUP_KEEP,
         "parse_csv_orders": SQL_PARSE_CSV_ORDERS,
         "rollup_revenue": SQL_ROLLUP_REVENUE,
         "q3_shipping": SQL_Q3_SHIPPING,

@@ -92,14 +92,31 @@ def sensitivity_predicate(filters: list[str]):
     return predicate
 
 
+# DLP rejects payloads over 0.5 MB (docs/SensitiveRecordFilter-
+# splittertransform.md:22); the engine reproduces that failure surface so
+# the three on-error modes (SensitiveRecordFilter.java:351-358) have real
+# work to do.
+MAX_INSPECT_BYTES = 512 * 1024
+
+
 def split_sensitive(
     df: DataFrame,
     filters: list[str],
     field: str | None = None,
     on_error: str = "stop",  # stop | skip | error-port (ref :351-358)
+    max_bytes: int = MAX_INSPECT_BYTES,
 ) -> SplitResult:
     """Route rows by PII findings. ``field=None`` inspects the whole record
-    (reference's entire-record mode)."""
+    (reference's entire-record mode).
+
+    Rows whose inspected payload exceeds ``max_bytes`` are the engine's
+    analogue of a DLP RPC failure and follow ``on_error``:
+    - ``stop``: the plan fails at first oversized row (runtime exception,
+      reference's default rethrow);
+    - ``skip``: oversized rows are dropped from both ports;
+    - ``error-port``: oversized rows come back on ``errors``."""
+    if on_error not in ("stop", "skip", "error-port"):
+        raise ValueError(f"unknown on_error mode: {on_error!r}")
     if field is not None:
         ftype = dict(df.dtypes).get(field)
         if ftype is None:
@@ -120,10 +137,33 @@ def split_sensitive(
     def is_sensitive(s: pd.Series) -> pd.Series:
         return predicate(s)
 
-    flagged = df.withColumn("_sensitive", is_sensitive(target))
-    sensitive = flagged.filter(F.col("_sensitive")).drop("_sensitive")
-    non_sensitive = flagged.filter(~F.col("_sensitive")).drop("_sensitive")
-    errors = df.limit(0)  # detection kernels are total functions over strings
+    # null payloads are not oversized (they inspect as "no findings")
+    oversize = F.coalesce(
+        F.octet_length(target) > F.lit(max_bytes), F.lit(False)
+    )
+    if on_error == "stop":
+        @F.pandas_udf("boolean")
+        def fail_oversize(s: pd.Series) -> pd.Series:
+            if bool(s.any()):
+                raise ValueError(
+                    f"inspected payload exceeds {max_bytes} bytes "
+                    "(on_error=stop)"
+                )
+            return s
+
+        flagged = df.withColumn("_over", fail_oversize(oversize))
+    else:
+        flagged = df.withColumn("_over", oversize)
+    flagged = flagged.withColumn(
+        "_sensitive", F.when(~F.col("_over"), is_sensitive(target))
+    )
+    ok = flagged.filter(~F.col("_over"))
+    sensitive = ok.filter(F.col("_sensitive")).drop("_sensitive", "_over")
+    non_sensitive = ok.filter(~F.col("_sensitive")).drop("_sensitive", "_over")
+    if on_error == "error-port":
+        errors = flagged.filter(F.col("_over")).drop("_sensitive", "_over")
+    else:
+        errors = df.limit(0)
     return SplitResult(sensitive, non_sensitive, errors)
 
 

@@ -201,3 +201,33 @@ def test_arrow_boundary_is_column_pruned(df, spark):
     out = apply_transforms(df, spec)
     plan_str = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan_str
+
+
+def test_splitter_on_error_modes(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a@b.com"), (2, "clean text"), (3, "x" * 600)],
+        "id long, t string",
+    )
+    # error-port: oversized row routed to errors, others classified
+    res = split_sensitive(df, ["EMAIL_ADDRESS"], field="t",
+                          on_error="error-port", max_bytes=500)
+    assert [r.id for r in res.sensitive.collect()] == [1]
+    assert [r.id for r in res.non_sensitive.collect()] == [2]
+    assert [r.id for r in res.errors.collect()] == [3]
+    # skip: oversized row silently dropped
+    res = split_sensitive(df, ["EMAIL_ADDRESS"], field="t",
+                          on_error="skip", max_bytes=500)
+    assert sorted(r.id for r in res.sensitive.union(res.non_sensitive)
+                  .collect()) == [1, 2]
+    assert res.errors.count() == 0
+    # stop: plan fails at first oversized row
+    res = split_sensitive(df, ["EMAIL_ADDRESS"], field="t",
+                          on_error="stop", max_bytes=500)
+    with _pytest.raises(Exception):
+        res.sensitive.count()
+    # bad mode rejected at build time
+    with _pytest.raises(ValueError):
+        split_sensitive(df, ["EMAIL_ADDRESS"], field="t", on_error="wat")
