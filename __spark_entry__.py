@@ -657,6 +657,31 @@ FROM d
 """
 
 
+def q_redact_custom_template(spark, sf_dir):
+    """Custom inspect template (ref DLPTransformPluginConfig.java:110-113,
+    filter NONE=custom template): a user-supplied detector set replaces
+    the built-in registry."""
+    docs = _pii_text(_read(spark, sf_dir, "documents"))
+    out = apply_transforms(docs, {
+        "fieldsToTransform": [
+            {"transform": "REPLACE_VALUE", "fields": "text",
+             "filters": "CUSTOM",
+             "transformProperties": {"newValue": "[CORP]"}}],
+        "customTemplate": {
+            "CORP_EMAIL": r"[A-Za-z0-9._%+\-]+@corp\.example\.com"},
+    })
+    return out.select("doc_id", F.col("text").alias("redacted"))
+
+
+SQL_REDACT_CUSTOM_TEMPLATE = f"""
+SELECT doc_id,
+       regexp_replace(text || {_PII_SUFFIX_SQL},
+         '[A-Za-z0-9._%+\\-]+@corp\\.example\\.com', '[CORP]', 'g')
+         AS redacted
+FROM documents
+"""
+
+
 def q_exact_dedup_keep(spark, sf_dir):
     """exact_dedup survivor set: one min-id representative per
     normalized-content fingerprint."""
@@ -876,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "finding_counts_by_lang": q_finding_counts_by_lang,
         "split_whole_record": q_split_whole_record,
         "split_error_port": q_split_error_port,
+        "redact_custom_template": q_redact_custom_template,
         # pipeline-stage parity + relational depth
         "parse_csv_orders": q_parse_csv_orders,
         "rollup_revenue": q_rollup_revenue,
@@ -929,6 +955,7 @@ def oracle_sql() -> dict[str, str]:
         "finding_counts_by_lang": SQL_FINDING_COUNTS,
         "split_whole_record": SQL_SPLIT_WHOLE_RECORD,
         "split_error_port": SQL_SPLIT_ERROR_PORT,
+        "redact_custom_template": SQL_REDACT_CUSTOM_TEMPLATE,
         "exact_dedup_keep": SQL_EXACT_DEDUP_KEEP,
         "parse_csv_orders": SQL_PARSE_CSV_ORDERS,
         "rollup_revenue": SQL_ROLLUP_REVENUE,

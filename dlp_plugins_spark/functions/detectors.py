@@ -280,6 +280,41 @@ SENSITIVE_GROUPS: dict[str, list[str]] = {
 }
 
 
+TEMPLATE_NAME_RE = re.compile(r"^[A-Za-z0-9_]{1,64}$")
+
+
+def compile_template(template: dict[str, str]) -> list[InfoType]:
+    """User-supplied detector set (the engine's custom inspect template,
+    ref DLPTransformPluginConfig.java:110-113): name -> regex. Compiled
+    and validated at plan time; invalid names/patterns raise ValueError
+    before any Spark job."""
+    out: list[InfoType] = []
+    if not template:
+        raise ValueError("custom template is empty")
+    for name, pattern in template.items():
+        if not TEMPLATE_NAME_RE.match(name or ""):
+            raise ValueError(
+                f"template infoType name {name!r} must match [A-Za-z0-9_]{{1,64}}"
+            )
+        try:
+            re.compile(pattern)
+        except re.error as exc:
+            raise ValueError(
+                f"template infoType {name!r} has invalid regex: {exc}"
+            ) from exc
+        out.append(InfoType(name, pattern, description="custom template"))
+    return out
+
+
+def resolve_detectors(items: list) -> list[InfoType]:
+    """Names (looked up in the registry) and/or ad-hoc InfoType objects
+    (from a custom template) -> InfoType list."""
+    out = []
+    for i in items:
+        out.append(INFO_TYPES[i] if isinstance(i, str) else i)
+    return out
+
+
 def expand_groups(filters: list[str]) -> list[str]:
     """Composite groups -> concrete infoType names
     (ref SensitiveDataMapping.java:153-166). Accepts group names and/or
@@ -296,31 +331,29 @@ def expand_groups(filters: list[str]) -> list[str]:
     return out
 
 
-def union_pattern(names: list[str]) -> str:
+def union_pattern(names: list) -> str:
     """Single alternation regex for fast vectorized 'any finding?' checks.
 
     Validator-bearing detectors still match here (superset); exact
     routing uses ``detect`` below. Good enough when the caller only needs
     a cheap prefilter — the splitter runs the validated pass after.
-    """
+    Accepts registry names and/or ad-hoc InfoType objects."""
     if not names:
         raise ValueError("no infoTypes to compile")
     parts = []
-    for n in names:
-        it = INFO_TYPES[n]
+    for it in resolve_detectors(names):
         grp = "?i:" if it.flags & re.IGNORECASE else "?:"
         parts.append(f"({grp}{it.pattern})")
     return "|".join(parts)
 
 
-def prefilter_union(names: list[str]) -> str:
+def prefilter_union(names: list) -> str:
     """RE2-safe superset union: each detector contributes its
     ``prefilter`` (or ``pattern`` when already RE2-safe)."""
     if not names:
         raise ValueError("no infoTypes to compile")
     parts = []
-    for n in names:
-        it = INFO_TYPES[n]
+    for it in resolve_detectors(names):
         grp = "?i:" if it.flags & re.IGNORECASE else "?:"
         parts.append(f"({grp}{it.prefilter or it.pattern})")
     return "|".join(parts)
@@ -359,19 +392,19 @@ class Prescan:
         return values.str.contains(self._py_union, na=False)
 
 
-def detect(text: str, names: list[str]) -> dict[str, list[tuple[int, int]]]:
+def detect(text: str, names: list) -> dict[str, list[tuple[int, int]]]:
     """Validated findings per infoType (inspectContent equivalent)."""
     if text is None:
         return {}
     out = {}
-    for n in names:
-        spans = INFO_TYPES[n].findall(text)
+    for it in resolve_detectors(names):
+        spans = it.findall(text)
         if spans:
-            out[n] = spans
+            out[it.name] = spans
     return out
 
 
-def has_findings(text: str, names: list[str]) -> bool:
+def has_findings(text: str, names: list) -> bool:
     if text is None:
         return False
-    return any(INFO_TYPES[n].findall(text) for n in names)
+    return any(it.findall(text) for it in resolve_detectors(names))

@@ -26,7 +26,11 @@ from dataclasses import dataclass
 import pandas as pd
 
 from dlp_plugins_spark.functions import crypto
-from dlp_plugins_spark.functions.detectors import INFO_TYPES, Prescan
+from dlp_plugins_spark.functions.detectors import (
+    INFO_TYPES,
+    Prescan,
+    resolve_detectors,
+)
 
 # ref widget charsToIgnoreEnum values
 # (widgets/SensitiveRecordRedaction-transform.json:148-181)
@@ -79,10 +83,9 @@ def mask_text(
     return "".join(chars)
 
 
-def _match_regex(info_types: list[str]) -> re.Pattern:
+def _match_regex(info_types: list) -> re.Pattern:
     pats = []
-    for n in info_types:
-        it = INFO_TYPES[n]
+    for it in resolve_detectors(info_types):
         grp = "?i:" if it.flags & re.IGNORECASE else "?:"
         pats.append(f"({grp}{it.pattern})")
     return re.compile("|".join(pats))
@@ -97,11 +100,11 @@ def _compiled(info_types: list[str]):
     )
 
 
-def _validators(info_types: list[str]):
+def _validators(info_types: list):
     """Per-match validation: a match is a finding if ANY selected detector
     validates it (plain-regex detectors validate trivially)."""
     checks = [
-        (INFO_TYPES[n].regex, INFO_TYPES[n].validator) for n in info_types
+        (it.regex, it.validator) for it in resolve_detectors(info_types)
     ]
 
     def ok(text: str) -> bool:

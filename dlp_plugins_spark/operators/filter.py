@@ -27,7 +27,9 @@ from pyspark.sql import DataFrame, functions as F
 from dlp_plugins_spark.functions.detectors import (
     INFO_TYPES,
     Prescan,
+    compile_template,
     expand_groups,
+    resolve_detectors,
     union_pattern,
 )
 
@@ -44,24 +46,29 @@ class SplitResult:
     errors: DataFrame  # quarantine port (on_error='error-port')
 
 
-def sensitivity_predicate(filters: list[str]):
-    """Build a vectorized Series[str] -> Series[bool] detector."""
-    names = expand_groups(filters)
-    if not names:
+def sensitivity_predicate(filters: list[str],
+                          template: dict[str, str] | None = None):
+    """Build a vectorized Series[str] -> Series[bool] detector.
+
+    ``template``: custom detector set (name -> regex) used INSTEAD of the
+    built-in groups (ref custom inspect template,
+    DLPTransformPluginConfig.java:110-113)."""
+    if template is not None:
+        detectors = compile_template(template)
+    else:
+        detectors = resolve_detectors(expand_groups(filters))
+    if not detectors:
         raise ValueError("entire filter list expands to no infoTypes")
-    union = re.compile(union_pattern(names))
-    prescan = Prescan(names)
+    union = re.compile(union_pattern(detectors))
+    prescan = Prescan(detectors)
     # prescan is a superset (RE2-safe, no lookarounds): rows it flags
     # still need the exact union pass when any detector uses lookarounds
-    exact_prescan = all(
-        INFO_TYPES[n].prefilter is None for n in names
-    )
+    exact_prescan = all(it.prefilter is None for it in detectors)
     validated = [
-        (INFO_TYPES[n].regex, INFO_TYPES[n].validator)
-        for n in names
-        if INFO_TYPES[n].validator is not None
+        (it.regex, it.validator) for it in detectors
+        if it.validator is not None
     ]
-    plain = [INFO_TYPES[n].regex for n in names if INFO_TYPES[n].validator is None]
+    plain = [it.regex for it in detectors if it.validator is None]
 
     def predicate(s: pd.Series) -> pd.Series:
         hit = prescan(s)
@@ -105,6 +112,7 @@ def split_sensitive(
     field: str | None = None,
     on_error: str = "stop",  # stop | skip | error-port (ref :351-358)
     max_bytes: int = MAX_INSPECT_BYTES,
+    template: dict[str, str] | None = None,
 ) -> SplitResult:
     """Route rows by PII findings. ``field=None`` inspects the whole record
     (reference's entire-record mode).
@@ -131,7 +139,7 @@ def split_sensitive(
         # whole record as comma-delimited text, JVM-side
         target = F.concat_ws(",", *[F.col(c).cast("string") for c in df.columns])
 
-    predicate = sensitivity_predicate(filters)
+    predicate = sensitivity_predicate(filters, template=template)
 
     @F.pandas_udf("boolean")
     def is_sensitive(s: pd.Series) -> pd.Series:
@@ -167,13 +175,16 @@ def split_sensitive(
     return SplitResult(sensitive, non_sensitive, errors)
 
 
-def count_findings(df: DataFrame, field: str, filters: list[str]) -> DataFrame:
+def count_findings(df: DataFrame, field: str, filters: list[str],
+                   template: dict[str, str] | None = None) -> DataFrame:
     """Per-infoType finding counts — the engine's metrics analogue of the
     reference's dlp.requests.* counters (SensitiveRecordRedaction.java:178-189),
     but per finding rather than per RPC."""
-    names = expand_groups(filters)
-
-    pats = {n: INFO_TYPES[n] for n in names}
+    if template is not None:
+        pats = {it.name: it for it in compile_template(template)}
+    else:
+        pats = {it.name: it
+                for it in resolve_detectors(expand_groups(filters))}
 
     @F.pandas_udf("map<string,int>")
     def findings(s: pd.Series) -> pd.Series:

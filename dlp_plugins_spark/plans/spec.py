@@ -30,7 +30,11 @@ from pyspark.sql import types as T
 
 from dlp_plugins_spark.functions import transforms as K
 from dlp_plugins_spark.functions.crypto import resolve_key
-from dlp_plugins_spark.functions.detectors import INFO_TYPES, expand_groups
+from dlp_plugins_spark.functions.detectors import (
+    INFO_TYPES,
+    compile_template,
+    expand_groups,
+)
 
 _STRING_ONLY = ("string",)
 _TEMPORAL = ("date", "timestamp", "timestamp_ntz")
@@ -82,8 +86,14 @@ class FieldTransformSpec:
         # ref DlpFieldTransformationConfig.java:69-70: filters contain NONE
         return any(f.strip().upper() == "NONE" for f in self.filters)
 
+    @property
+    def uses_template(self) -> bool:
+        # ref widget: filter group NONE=custom template; engine spells it
+        # CUSTOM in the filter list (template XOR built-in groups)
+        return any(f.strip().upper() == "CUSTOM" for f in self.filters)
+
     def info_types(self) -> list[str]:
-        if self.whole_value:
+        if self.whole_value or self.uses_template:
             return []
         return expand_groups(self.filters)
 
@@ -140,6 +150,18 @@ class TransformPlan:
                         "with a custom template"
                     )
                     break
+            if e.uses_template:
+                if self.custom_template is None:
+                    # ref DLPTransformPluginConfig.java:115-129: CUSTOM
+                    # requires a template
+                    errors.append(
+                        f"{where}: filter CUSTOM requires a customTemplate"
+                    )
+                else:
+                    try:
+                        compile_template(self.custom_template)
+                    except ValueError as exc:
+                        errors.append(f"{where}: {exc}")
             try:
                 its = e.info_types() if not e.whole_value else []
             except ValueError as exc:
@@ -220,7 +242,14 @@ class TransformPlan:
     def _build_kernel(self, e: FieldTransformSpec) -> "K.Kernel":
         """Construct the kernel for one entry (property errors raise
         ValueError; validate() collects them, compile() never sees them)."""
-        its = None if e.whole_value else e.info_types()
+        if e.whole_value:
+            its = None
+        elif e.uses_template:
+            # user-supplied detector set replaces the built-in registry
+            # (ref custom inspect template path)
+            its = compile_template(self.custom_template or {})
+        else:
+            its = e.info_types()
         p = e.properties
         key = self._key_of(e)
         ctx = p.get("context")

@@ -231,3 +231,44 @@ def test_splitter_on_error_modes(spark):
     # bad mode rejected at build time
     with _pytest.raises(ValueError):
         split_sensitive(df, ["EMAIL_ADDRESS"], field="t", on_error="wat")
+
+
+def test_custom_template_redact_and_split(spark):
+    from dlp_plugins_spark.operators.redaction import apply_transforms
+    from dlp_plugins_spark.plans.spec import SpecValidationError
+
+    df = spark.createDataFrame(
+        [(1, "ticket JIRA-1234 is open"), (2, "no ids here")],
+        "id long, t string",
+    )
+    tmpl = {"TICKET_ID": r"\bJIRA-\d+\b"}
+    out = apply_transforms(df, {
+        "fieldsToTransform": [
+            {"transform": "REDACT", "fields": "t", "filters": "CUSTOM"}],
+        "customTemplate": tmpl,
+    }).collect()
+    assert [r.t for r in sorted(out, key=lambda r: r.id)] == [
+        "ticket  is open", "no ids here"]
+    # splitter with the same template
+    res = split_sensitive(df, ["CUSTOM"], field="t", template=tmpl)
+    assert [r.id for r in res.sensitive.collect()] == [1]
+    # CUSTOM without a template is a plan error
+    import pytest as _pytest
+    with _pytest.raises(SpecValidationError):
+        apply_transforms(df, [
+            {"transform": "REDACT", "fields": "t", "filters": "CUSTOM"}])
+    # mixing built-in filters with a template is a plan error (ref rule)
+    with _pytest.raises(SpecValidationError):
+        apply_transforms(df, {
+            "fieldsToTransform": [{
+                "transform": "REDACT", "fields": "t",
+                "filters": "DEMOGRAPHIC"}],
+            "customTemplate": tmpl,
+        })
+    # bad template regex fails at validate time
+    with _pytest.raises(SpecValidationError):
+        apply_transforms(df, {
+            "fieldsToTransform": [{
+                "transform": "REDACT", "fields": "t", "filters": "CUSTOM"}],
+            "customTemplate": {"BAD": "("},
+        })
