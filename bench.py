@@ -27,8 +27,8 @@ import time
 from dlp_plugins_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
-BATCH = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "250000"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+BATCH = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "500000"))
 
 BENCH_QUERIES = [
     "redact_emails",
@@ -63,8 +63,12 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_cdc_replay(spark) -> tuple[float, float, int]:
-    """Returns (wall_sec, events_per_sec, n_events)."""
+def run_cdc_replay(spark) -> tuple[float, float, float, int]:
+    """Returns (wall_sec, events_per_sec, sustained_eps, n_events).
+
+    ``sustained_eps`` excludes the first batch (JVM/codegen/Python-worker
+    warmup) — the metric definition is SUSTAINED replay throughput; the
+    all-in number is still reported."""
     import pyspark.sql.types as T
 
     from dlp_plugins_spark.cdc.binlog import BINLOG_SCHEMA, TABLE_KEY
@@ -90,7 +94,12 @@ def run_cdc_replay(spark) -> tuple[float, float, int]:
                                  n_buckets=64)
         m = replay(spark, table, 0, N_EVENTS, batch_size=BATCH,
                    events_df=events)
-        return m.wall_sec, m.events_per_sec, m.events
+        tail = [b for b in m.per_batch[1:] if "sec" in b]
+        sustained = (
+            sum(b["rows"] for b in tail) / sum(b["sec"] for b in tail)
+            if tail else m.events_per_sec
+        )
+        return m.wall_sec, m.events_per_sec, sustained, m.events
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
 
@@ -102,7 +111,7 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     t0 = time.monotonic()
-    replay_sec, eps, n_events = run_cdc_replay(spark)
+    replay_sec, eps, sustained_eps, n_events = run_cdc_replay(spark)
     timings["cdc_replay"] = round(replay_sec, 3)
 
     qs = E.queries()
@@ -122,6 +131,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "events_per_sec": round(eps, 1),
+        "events_per_sec_sustained": round(sustained_eps, 1),
         "replay_events": n_events,
         "replay_batch_size": BATCH,
     }))
