@@ -242,32 +242,47 @@ def char_ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
 # ---------------------------------------------------------------------------
 
 def simhash64_pdf(texts: pd.Series, seed: int = 42) -> pd.Series:
-    """64-bit simhash over whitespace tokens (numpy-vectorized per batch)."""
+    """64-bit simhash over whitespace tokens, fully numpy-vectorized:
+    no per-row or per-token Python in the hot path.
+
+    Token hash family: FNV-1a over the token's first 16 UTF-8 bytes
+    (zero-padded — tokens sharing a 16-byte prefix collide, which only
+    perturbs individual bit votes). All tokens of the batch hash in one
+    (n_tokens, 16) uint8 matrix pass; per-row bit votes reduce with
+    ``np.add.reduceat`` over row offsets."""
+    tok_lists = texts.fillna("").str.lower().str.split()
+    lens = tok_lists.map(len).to_numpy(dtype=np.int64)
     out = np.zeros(len(texts), dtype=np.uint64)
-    mask = np.uint64((1 << 64) - 1)
+    nz = lens > 0
+    if not nz.any():
+        return pd.Series(out.astype(np.int64))
+    flat = tok_lists[nz].explode()
+    # fixed-width byte matrix (UTF-8, truncated/zero-padded to 16)
+    raw = np.array(
+        [t.encode("utf-8", "ignore")[:16] for t in flat], dtype="S16"
+    )
+    m = raw.view(np.uint8).reshape(len(raw), 16).astype(np.uint64)
+    h = np.full(len(raw), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(16):
+        h = (h ^ m[:, j]) * prime
+    h ^= np.uint64(seed)
     bits = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts.fillna("")):
-        toks = t.lower().split()
-        if not toks:
-            continue
-        hs = np.fromiter(
-            ((hash64_str(tok) ^ np.uint64(seed)) for tok in toks),
-            dtype=np.uint64, count=len(toks),
-        )
-        bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
-        sums = bitmat.sum(axis=0) * 2 - len(toks)   # +1/-1 vote per token
-        sig = np.uint64(0)
-        for b in np.nonzero(sums > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = sig & mask
+    votes = (((h[:, None] >> bits[None, :]) & np.uint64(1))
+             .astype(np.int32) * 2 - 1)              # (n_tokens, 64)
+    offsets = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+    sums = np.add.reduceat(votes, offsets, axis=0)   # (n_nonzero_rows, 64)
+    sigs = ((sums > 0).astype(np.uint64) << bits[None, :]).sum(
+        axis=1, dtype=np.uint64)
+    out[nz] = sigs
     return pd.Series(out.astype(np.int64))  # Spark long
 
 
 def hash64_str(s: str) -> np.uint64:
-    """Deterministic 64-bit string hash (FNV-1a; Python's hash() is
-    salted per-process and would break cross-run determinism)."""
+    """Scalar reference of the vectorized family above (tests)."""
     h = np.uint64(0xCBF29CE484222325)
-    for ch in s.encode("utf-8"):
+    buf = s.encode("utf-8", "ignore")[:16].ljust(16, b"\0")
+    for ch in buf:
         h = (h ^ np.uint64(ch)) * np.uint64(0x100000001B3)
     return h
 
