@@ -211,11 +211,15 @@ class LakeTable:
 
         touched = set(touched_buckets)
         kept = [f for f in prev.files if f["bucket"] not in touched]
+        # maintenance commits (compaction) apply no LSNs: skip the range
+        new_ranges = prev.applied_ranges + (
+            [list(lsn_range)] if 0 <= lsn_range[0] <= lsn_range[1] else []
+        )
         snap = Snapshot(
             snapshot_id=commit_id,
             schema_json=json.dumps(schema.jsonValue()),
             files=kept + files,
-            applied_ranges=prev.applied_ranges + [list(lsn_range)],
+            applied_ranges=new_ranges,
             applied_batches=sorted(set(prev.applied_batches) | set(batch_ids)),
             parent=prev.snapshot_id,
             properties=prev.properties,
@@ -237,6 +241,83 @@ class LakeTable:
             json.dump(lineage, f, sort_keys=True)
         os.replace(tmp, lpath)
         return snap
+
+    # -- maintenance -------------------------------------------------------------
+    def compact(self, spark: SparkSession,
+                max_files_per_bucket: int = 1) -> Snapshot:
+        """Rewrite buckets whose file count exceeds the threshold into one
+        file each (Iceberg rewrite_data_files parity). Merge-on-write
+        already yields one file per touched bucket per commit, but
+        snapshots after partial-bucket commits can accumulate; compaction
+        restores the one-file-per-bucket invariant without changing
+        data — the commit records an empty LSN range."""
+        snap = self.current_snapshot()
+        by_bucket: dict[int, int] = {}
+        for f in snap.files:
+            by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
+        crowded = [b for b, n in by_bucket.items() if n > max_files_per_bucket]
+        if not crowded:
+            return snap
+        data = self.read(spark, buckets=crowded, snapshot=snap).withColumn(
+            "_bucket", key_bucket_expr(self.key_cols, self.n_buckets)
+        )
+        return self.commit_merge(
+            data,
+            touched_buckets=crowded,
+            lsn_range=(-1, -1),  # no new LSNs applied
+            batch_ids=[],
+            schema=snap.schema(),
+            lineage_extra={"maintenance": "compact",
+                           "compacted_buckets": sorted(crowded)},
+        )
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Delete snapshot manifests older than the newest ``keep_last``
+        and any data files no live snapshot references (Iceberg
+        expire_snapshots + remove_orphan_files parity). The current
+        pointer is never touched; crash mid-expiry leaves only extra
+        files, never a broken table."""
+        import glob as _glob
+
+        current = self.current_snapshot()
+        snaps = sorted(
+            _glob.glob(os.path.join(self.path, SNAPSHOT_DIR, "snapshot-*.json"))
+        )
+        keep_paths = set(snaps[-max(keep_last, 1):])
+        keep_paths.add(self._snapshot_path(current.snapshot_id))
+        live_files: set[str] = set()
+        for sp in keep_paths:
+            with open(sp) as f:
+                live_files |= {
+                    fe["path"] for fe in Snapshot.from_json(f.read()).files
+                }
+        removed_snaps = 0
+        for sp in snaps:
+            if sp not in keep_paths:
+                os.remove(sp)
+                removed_snaps += 1
+        removed_data = 0
+        data_root = os.path.join(self.path, DATA_DIR)
+        for p in _glob.glob(os.path.join(data_root, "**", "*.parquet"),
+                            recursive=True):
+            rel = os.path.relpath(p, self.path)
+            if rel not in live_files:
+                os.remove(p)
+                removed_data += 1
+        # drop now-empty commit dirs
+        for d in sorted(_glob.glob(os.path.join(data_root, "commit-*")),
+                        reverse=True):
+            for sub in sorted(_glob.glob(os.path.join(d, "bucket=*")),
+                              reverse=True):
+                if not os.listdir(sub):
+                    os.rmdir(sub)
+            if not any(
+                files for _, _, files in os.walk(d)
+            ):
+                import shutil as _shutil
+                _shutil.rmtree(d, ignore_errors=True)
+        return {"removed_snapshots": removed_snaps,
+                "removed_data_files": removed_data}
 
     # -- exactly-once helpers ---------------------------------------------------
     def applied_filter(self, snap: Snapshot | None = None):

@@ -187,3 +187,37 @@ def test_snapshot_isolation_reader_sees_committed_only(spark, tmp_path):
     # old snapshot still readable and unchanged (time travel)
     assert table.read(spark, snapshot=snap1).count() == n1
     assert table.current_snapshot().parent == snap1.snapshot_id
+
+
+def test_compact_and_expire(spark, tmp_path):
+    """Maintenance parity: compaction preserves state exactly (empty LSN
+    range, no exactly-once impact); expire_snapshots removes old
+    manifests + orphaned data files and the table stays readable."""
+    import glob
+    import os
+
+    from dlp_plugins_spark.cdc.replay import spark_state_pdf, state_hash
+
+    table = _mktable(tmp_path, "maint")
+    replay(spark, table, 0, 3 * BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    h_before = state_hash(spark_state_pdf(spark, table))
+    sid = table.current_snapshot().snapshot_id
+
+    # force a full rewrite (threshold 0 -> every bucket is "crowded")
+    snap = table.compact(spark, max_files_per_bucket=0)
+    assert snap.snapshot_id == sid + 1
+    assert state_hash(spark_state_pdf(spark, table)) == h_before
+    # compaction applied no LSNs: replaying an already-applied range
+    # must still be a no-op afterwards
+    m = replay(spark, table, 0, BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    assert m.batches == 0 and m.skipped_batches == 1
+
+    # threshold satisfied -> compact is a no-op commit-wise
+    assert table.compact(spark).snapshot_id == snap.snapshot_id
+
+    n_snaps_before = len(glob.glob(
+        os.path.join(table.path, "snapshots", "snapshot-*.json")))
+    res = table.expire_snapshots(keep_last=1)
+    assert res["removed_snapshots"] == n_snaps_before - 1
+    assert res["removed_data_files"] > 0  # pre-compaction files orphaned
+    assert state_hash(spark_state_pdf(spark, table)) == h_before
