@@ -180,7 +180,7 @@ normalization is checkable.
 | events/sec @ local[{CORES_4N}] | {r4N['events_per_sec']:,} | wall {r4N['wall_sec']} s |
 | scaling efficiency (N->4N) | {eff:.3f} | (T_4N/T_N)/4, target >= 0.8 |
 | hardware ceiling (probe, N->4N) | {hw_eff} | pure-CPU process scaling |
-| normalized efficiency | {round(eff / hw_eff, 3) if hw_eff else 'n/a'} | engine / hardware ceiling |
+| normalized efficiency | {round(eff / hw_eff, 3) if hw_eff else 'n/a'} | engine / hardware ceiling (probe varies ±0.15 with co-tenant load; absolute efficiency is the headline) |
 | hardware ceiling (probe, 8->32) | {hw.get('eff_8_to_32')} | why 8->32 is not the protocol |
 | final-state sha256 match | {hashes_match} | local[{CORES_N}] hash == local[{CORES_4N}] hash |
 | state hash | `{rN['state_hash']}` | per-row sha256(repo,path,lsn,content) |
