@@ -137,6 +137,27 @@ class LakeTable:
     def current_snapshot(self) -> Snapshot:
         return self._read_current(self.path)
 
+    def snapshot(self, snapshot_id: int) -> Snapshot:
+        """Load a specific (not-yet-expired) snapshot — time travel."""
+        with open(self._snapshot_path(snapshot_id)) as f:
+            return Snapshot.from_json(f.read())
+
+    def rollback(self, snapshot_id: int) -> Snapshot:
+        """Point the table back at an older snapshot (Iceberg
+        rollback_to_snapshot parity). Data files are immutable and
+        later snapshots keep their manifests until expiry, so a
+        rollback is a pointer swap — later commits (including their
+        applied-LSN ranges) simply stop being visible, which is exactly
+        what re-applying them after a bad deploy requires."""
+        snap = self.snapshot(snapshot_id)  # raises if expired/unknown
+        ptr_tmp = os.path.join(self.path, f"{CURRENT_PTR}.tmp.{uuid.uuid4().hex}")
+        with open(ptr_tmp, "w") as f:
+            f.write(str(snap.snapshot_id))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptr_tmp, os.path.join(self.path, CURRENT_PTR))
+        return snap
+
     # -- read ------------------------------------------------------------------
     def read(self, spark: SparkSession, buckets: list[int] | None = None,
              snapshot: Snapshot | None = None) -> DataFrame:

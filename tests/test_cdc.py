@@ -221,3 +221,33 @@ def test_compact_and_expire(spark, tmp_path):
     assert res["removed_snapshots"] == n_snaps_before - 1
     assert res["removed_data_files"] > 0  # pre-compaction files orphaned
     assert state_hash(spark_state_pdf(spark, table)) == h_before
+
+
+def test_time_travel_and_rollback(spark, tmp_path):
+    """Read AT any snapshot; rollback is a pointer swap, after which the
+    rolled-back LSN range replays cleanly (exactly-once follows the
+    visible manifest)."""
+    from dlp_plugins_spark.cdc.replay import spark_state_pdf, state_hash
+
+    table = _mktable(tmp_path, "tt")
+    replay(spark, table, 0, BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    sid1 = table.current_snapshot().snapshot_id
+    h1 = state_hash(spark_state_pdf(spark, table))
+    replay(spark, table, BATCH, 2 * BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    h2 = state_hash(spark_state_pdf(spark, table))
+    assert h1 != h2
+
+    # time travel: read at the older snapshot without moving the pointer
+    old = table.read(spark, snapshot=table.snapshot(sid1))
+    import pandas as pd
+    old_pdf = old.orderBy("repo", "path").toPandas()
+    assert state_hash(old_pdf) == h1
+    assert table.current_snapshot().snapshot_id != sid1
+
+    # rollback, then the second batch is no longer applied -> replays
+    table.rollback(sid1)
+    assert state_hash(spark_state_pdf(spark, table)) == h1
+    m = replay(spark, table, BATCH, 2 * BATCH, batch_size=BATCH,
+               gen_kwargs=GEN)
+    assert m.batches == 1
+    assert state_hash(spark_state_pdf(spark, table)) == h2
