@@ -856,6 +856,15 @@ def q_ann_topk_lsh(spark, sf_dir):
     return S.ann_topk(emb, queries, dim=64, k=5, bits=6, n_tables=8)
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN (k-means inverted lists, n_probe nearest lists probed) —
+    the trained-quantizer scale path next to LSH."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return S.ivf_topk(emb, queries, dim=64, k=5, n_lists=16, n_probe=6)
+
+
 def q_cdc_replay_state(spark, sf_dir):
     """End-to-end engine exercise: generate a small binlog, replay it
     through the DLP stage into a throwaway lake table, return final state.
@@ -921,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "lang_detect": q_lang_detect,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "cdc_replay_state": q_cdc_replay_state,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "crypto_hash_langs": q_crypto_hash_langs,

@@ -165,7 +165,14 @@ def merge_batch(
     ).withColumnRenamed("_lsn", LSN_COL)
 
     batch_side = fresh.drop("batch_id")
-    if salted:
+    # hot-key guard: J1's per-bucket counts are a free skew signal. When
+    # one bucket holds an outsized share of the batch (pathological
+    # single-key storms; Zipf alone doesn't trip this), pre-reduce the
+    # batch with the salted two-phase LWW so no single reduce task
+    # receives the whole storm. 'auto' is the default via salted=False +
+    # detection; salted=True forces it.
+    max_share = max(r["n"] for r in stats_rows) / n_batch
+    if salted or (n_batch >= 100_000 and max_share > 0.3):
         batch_side = lww_dedup(batch_side, table.key_cols, salted=True)
     unioned = current.unionByName(batch_side, allowMissingColumns=True)
     out_cols = [f.name for f in evolved_schema.fields if f.name != "_lsn"]

@@ -188,6 +188,117 @@ def ann_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic coarse quantizer: Lloyd's k-means on a fixed-order
+    sample, driver-side numpy (the sample is tiny; clustering 4k x dim
+    floats is microseconds next to one Spark job). Returns
+    (n_lists, dim) L2-normalized centroids.
+
+    At 100 TB you train on the same bounded sample — centroid quality
+    needs data DIVERSITY, not volume; assignment is the distributed
+    part."""
+    sample = np.stack(
+        df.select(vec_col).limit(sample_rows).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.Philox(seed))
+    cents = sample[rng.choice(len(sample), size=n_lists, replace=False)]
+    for _ in range(iters):
+        sims = sample @ cents.T                       # (n, k) cosine
+        assign = sims.argmax(axis=1)
+        for c in range(n_lists):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def add_ivf_list(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out: str = "_ivf",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (one numpy matmul per
+    Arrow batch; centroids ride the UDF closure — broadcast-small)."""
+    cents = centroids
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ cents.T).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn(out, _assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into n_lists inverted
+    lists by nearest centroid; each query probes its n_probe nearest
+    lists and exact-reranks only those vectors. Scan cost drops to
+    ~n_probe/n_lists of the corpus — the complementary scale path to
+    SRP-LSH (IVF adapts to data distribution; LSH needs no training)."""
+    cents = centroids if centroids is not None else train_ivf_centroids(
+        df, dim, n_lists, vec_col, seed=seed)
+    corpus = add_ivf_list(df, cents, vec_col, "_ivf").select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec"),
+        "_ivf",
+    )
+
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    qm = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    spark = df.sparkSession
+    qrows = [
+        (int(qid), [float(x) for x in vec], [int(p) for p in pr])
+        for qid, vec, pr in zip(qpdf[query_id_col], qpdf[vec_col], probes)
+    ]
+    q = spark.createDataFrame(
+        qrows, f"{query_id_col} long, _qvec array<double>, _probes array<int>"
+    ).select(query_id_col, "_qvec", F.explode("_probes").alias("_ivf"))
+
+    scored = corpus.join(F.broadcast(q), on="_ivf").select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_expr(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     dim: int,

@@ -251,3 +251,39 @@ def test_time_travel_and_rollback(spark, tmp_path):
                gen_kwargs=GEN)
     assert m.batches == 1
     assert state_hash(spark_state_pdf(spark, table)) == h2
+
+
+def test_hot_key_storm_auto_salted(spark, tmp_path):
+    """A batch where one key dominates (>30% in one bucket) triggers the
+    salted pre-reduce automatically; result identical to the oracle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dlp_plugins_spark.cdc.merge import merge_batch
+    from dlp_plugins_spark.cdc.replay import spark_state_pdf
+
+    table = _mktable(tmp_path, "storm")
+    n = 120_000
+    # 95% of events hit ONE key, rest spread over 50
+    storm = spark.range(n).select(
+        F.col("id").alias("lsn"),
+        F.lit("U").alias("op"),
+        F.when(F.col("id") % 20 != 0, F.lit("org/hot")).otherwise(
+            F.concat(F.lit("org/cold-"), (F.col("id") % 50).cast("string"))
+        ).alias("repo"),
+        F.lit("src/a.py").alias("path"),
+        F.lit("c" * 40).alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("content"),
+        F.lit(0).cast("long").alias("batch_id"),
+    )
+    stats = merge_batch(table, storm, batch_ids=[0])
+    assert stats.batch_rows == n
+    state = spark_state_pdf(spark, table)
+    hot = state[state.repo == "org/hot"]
+    assert len(hot) == 1
+    # LWW: the max-lsn non-multiple-of-20 id
+    expect = max(i for i in range(n) if i % 20 != 0)
+    assert hot.iloc[0]["content"] == f"v{expect}"
+    # cold keys: multiples of 20 mod 50 cycle through {0,10,20,30,40}
+    assert len(state) == 6

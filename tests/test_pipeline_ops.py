@@ -228,3 +228,26 @@ def test_multimodal_features_and_frames(spark):
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"xx", fake=False)
+
+
+def test_ivf_topk_recall(spark):
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = list(range(8))
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = S.brute_force_topk(emb, queries, k=10).toPandas()
+    approx = S.ivf_topk(emb, queries, dim=64, k=10, n_lists=16,
+                        n_probe=6).toPandas()
+    recalls = []
+    for q in qids:
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls
+    # determinism: same seed, same result
+    a2 = S.ivf_topk(emb, queries, dim=64, k=10, n_lists=16,
+                    n_probe=6).toPandas()
+    assert approx.sort_values(["query_id", "rank"]).neighbor_id.tolist() == \
+        a2.sort_values(["query_id", "rank"]).neighbor_id.tolist()
