@@ -1,0 +1,102 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The engine's batch ops cover the lake-merge path; these cover the
+stream-native path where state must live ACROSS micro-batches:
+
+- ``streaming_first_seen``: emit only the first occurrence of each key
+  (streaming exact dedup for document/content streams — the streaming
+  form of operators/dedup.exact_dedup). State per key is one boolean;
+  at 100 TB state is sharded by the groupBy hash across executors and
+  checkpointed by Spark, so a restart resumes without re-emitting.
+- ``streaming_lww_latest``: running last-writer-wins row per key,
+  emitting the new winner whenever a higher-LSN event arrives (a
+  continuously-maintained materialized view of the CDC table's hot
+  keys).
+
+Both are Arrow-batched per group; no per-row Python beyond the pandas
+ops inside a group chunk.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+
+def streaming_first_seen(
+    df: DataFrame,
+    key_col: str,
+    out_schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Streaming DataFrame -> rows whose ``key_col`` value has not been
+    seen in any earlier micro-batch (or earlier in this one). Emits the
+    FIRST arriving row per key, exactly once per key."""
+    schema = out_schema or df.schema
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            return iter(())  # key already emitted in a prior batch
+        first = None
+        for pdf in pdfs:
+            if len(pdf):
+                first = pdf.head(1)
+                break
+        if first is None:
+            return iter(())
+        state.update((True,))
+        return iter((first,))
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=schema,
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_lww_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    lsn_col: str = "lsn",
+) -> DataFrame:
+    """Running LWW winner per key: whenever a micro-batch contains an
+    event with a higher LSN than the stored state, emit the new winner
+    row (and ONLY then — stale events emit nothing). State per key is
+    just the winning LSN; the emitted row is a dtype-preserving slice of
+    the arriving Arrow batch."""
+    schema = df.schema
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        best_lsn = state.get[0] if state.exists else None
+        winner = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            idx = pdf[lsn_col].idxmax()
+            lsn = int(pdf.loc[idx, lsn_col])
+            if best_lsn is None or lsn > best_lsn:
+                best_lsn = lsn
+                winner = pdf.loc[[idx]]  # DataFrame slice: dtypes intact
+        if winner is None:
+            return iter(())
+        state.update((int(best_lsn),))
+        return iter((winner,))
+
+    return (
+        df.groupBy(*key_cols)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=schema,
+            stateStructType="lsn long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -101,3 +101,71 @@ def test_char_ngram_jaccard_known_values(spark):
     # grams(abcd)={abc,bcd}, grams(bcde)={bcd,cde}: |I|=1 |U|=3
     assert got[(1, 2)] == pytest.approx(1 / 3)
     assert got[(1, 3)] == pytest.approx(1.0)
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState: only the first occurrence of each
+    fingerprint crosses the stream, state persists across micro-batches."""
+    import os
+
+    from dlp_plugins_spark.streaming.stateful import streaming_first_seen
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    # batch 1: fp a,b ; batch 2: fp b,c (b is a cross-batch duplicate)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, fp string"
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, fp string")
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    )
+    out = streaming_first_seen(stream, "fp")
+    q = (out.writeStream.format("memory").queryName("firstseen")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    spark.createDataFrame(
+        [(3, "b"), (4, "c")], "doc_id long, fp string"
+    ).coalesce(1).write.parquet(os.path.join(src, "b2"))
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.doc_id, r.fp) for r in spark.sql(
+        "SELECT * FROM firstseen").collect()}
+    assert got == {(1, "a"), (2, "b"), (4, "c")}
+
+
+def test_streaming_lww_latest(spark, tmp_path):
+    import os
+
+    from dlp_plugins_spark.streaming.stateful import streaming_lww_latest
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(10, "k1", "v10"), (11, "k2", "v11")],
+        "lsn long, key string, payload string",
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    stream = (
+        spark.readStream.schema("lsn long, key string, payload string")
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    )
+    out = streaming_lww_latest(stream, ["key"], lsn_col="lsn")
+    q = (out.writeStream.format("memory").queryName("lww")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .outputMode("update").start())
+    q.processAllAvailable()
+    # batch 2: stale update for k1 (lsn 5) must NOT emit; newer k2 must
+    spark.createDataFrame(
+        [(5, "k1", "stale"), (20, "k2", "v20")],
+        "lsn long, key string, payload string",
+    ).coalesce(1).write.parquet(os.path.join(src, "b2"))
+    q.processAllAvailable()
+    q.stop()
+    rows = [(r.lsn, r.key, r.payload) for r in spark.sql(
+        "SELECT * FROM lww").collect()]
+    assert (10, "k1", "v10") in rows and (11, "k2", "v11") in rows
+    assert (20, "k2", "v20") in rows
+    assert not any(p == "stale" for _, _, p in rows)
