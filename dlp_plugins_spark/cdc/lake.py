@@ -164,17 +164,53 @@ class LakeTable:
         """Read the table (optionally restricted to buckets) AT a snapshot.
 
         An explicit read schema makes older files missing newer (additive)
-        columns come back as nulls — the schema-evolution read path."""
+        columns come back as nulls — the schema-evolution read path.
+
+        Merge-on-read: when the snapshot carries delta files (appended by
+        ``merge_batch(mode='mor')``), winners resolve here — base rows and
+        delta rows reduce to the max-LSN row per key, delta tombstones
+        (``_op='D'``) drop out. Snapshots without deltas take the plain
+        scan fast path (no shuffle)."""
         snap = snapshot or self.current_snapshot()
         schema = snap.schema()
-        files = [
+        want = None if buckets is None else set(buckets)
+        base = [
             f for f in snap.files
-            if buckets is None or f["bucket"] in set(buckets)
+            if not f.get("delta") and (want is None or f["bucket"] in want)
         ]
-        if not files:
+        delta = [
+            f for f in snap.files
+            if f.get("delta") and (want is None or f["bucket"] in want)
+        ]
+        if not base and not delta:
             return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, f["path"]) for f in files]
-        return spark.read.schema(schema).parquet(*paths)
+        base_df = None
+        if base:
+            base_df = spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f["path"]) for f in base]
+            )
+        if not delta:
+            return base_df
+        delta_schema = T.StructType(
+            schema.fields + [T.StructField("_op", T.StringType(), True)]
+        )
+        delta_df = spark.read.schema(delta_schema).parquet(
+            *[os.path.join(self.path, f["path"]) for f in delta]
+        )
+        if base_df is not None:
+            both = base_df.withColumn("_op", F.lit("U")) \
+                .unionByName(delta_df, allowMissingColumns=True)
+        else:
+            both = delta_df
+        cols = [f.name for f in schema.fields]
+        row = F.struct(*[F.col(c) for c in cols + ["_op"]])
+        return (
+            both.groupBy(*self.key_cols)
+            .agg(F.max_by(row, F.col("_lsn")).alias("_r"))
+            .select("_r.*")
+            .filter(F.col("_op") != "D")
+            .drop("_op")
+        )
 
     # -- commit ------------------------------------------------------------------
     def commit_merge(
@@ -185,15 +221,21 @@ class LakeTable:
         batch_ids: list[int],
         schema: T.StructType,
         lineage_extra: dict | None = None,
+        delta: bool = False,
     ) -> Snapshot:
-        """Write new files for ``touched_buckets`` and commit: the new
-        snapshot keeps untouched files, swaps in the rewritten buckets,
-        and appends the applied LSN range + batch ids.
+        """Write new files for ``touched_buckets`` and commit.
+
+        ``delta=False`` (merge-on-write): the new snapshot keeps
+        untouched buckets' files and swaps in the rewritten buckets.
+        ``delta=True`` (merge-on-read): ALL previous files are kept and
+        the written files are flagged as deltas — appended change rows
+        (with an ``_op`` column) that ``read`` resolves lazily.
 
         ``new_data_by_bucket`` must carry a ``_bucket`` column."""
         prev = self.current_snapshot()
         commit_id = prev.snapshot_id + 1
-        rel_dir = os.path.join(DATA_DIR, f"commit-{commit_id:08d}")
+        kind = "delta" if delta else "commit"
+        rel_dir = os.path.join(DATA_DIR, f"{kind}-{commit_id:08d}")
         out_dir = os.path.join(self.path, rel_dir)
 
         # One file per bucket: repartition by bucket, write partitioned.
@@ -227,11 +269,17 @@ class LakeTable:
             with ThreadPoolExecutor(max_workers=min(16, len(todo))) as ex:
                 counts = list(ex.map(_rows, [rel for _, rel in todo]))
             for (b, rel), nrows_f in zip(todo, counts):
-                files.append({"path": rel, "bucket": b, "rows": nrows_f})
+                entry = {"path": rel, "bucket": b, "rows": nrows_f}
+                if delta:
+                    entry["delta"] = True
+                files.append(entry)
                 bucket_rows[str(b)] = bucket_rows.get(str(b), 0) + nrows_f
 
         touched = set(touched_buckets)
-        kept = [f for f in prev.files if f["bucket"] not in touched]
+        if delta:
+            kept = list(prev.files)  # append-only: nothing is replaced
+        else:
+            kept = [f for f in prev.files if f["bucket"] not in touched]
         # maintenance commits (compaction) apply no LSNs: skip the range
         new_ranges = prev.applied_ranges + (
             [list(lsn_range)] if 0 <= lsn_range[0] <= lsn_range[1] else []
@@ -325,9 +373,12 @@ class LakeTable:
             if rel not in live_files:
                 os.remove(p)
                 removed_data += 1
-        # drop now-empty commit dirs
-        for d in sorted(_glob.glob(os.path.join(data_root, "commit-*")),
-                        reverse=True):
+        # drop now-empty commit/delta dirs
+        for d in sorted(
+            _glob.glob(os.path.join(data_root, "commit-*"))
+            + _glob.glob(os.path.join(data_root, "delta-*")),
+            reverse=True,
+        ):
             for sub in sorted(_glob.glob(os.path.join(d, "bucket=*")),
                               reverse=True):
                 if not os.listdir(sub):

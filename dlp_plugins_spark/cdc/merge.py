@@ -74,6 +74,7 @@ def merge_batch(
     batch_ids: list[int],
     salted: bool = False,
     transform=None,
+    mode: str = "mow",
 ) -> MergeStats | None:
     """Apply one micro-batch to the lake table, committing a snapshot.
 
@@ -84,6 +85,13 @@ def merge_batch(
 
     ``transform``: optional DataFrame->DataFrame stage (the DLP apply
     stage) run on the fresh rows INSIDE the merge job — see below.
+
+    ``mode``: ``'mow'`` (merge-on-write, default) rewrites touched
+    buckets so reads are plain scans; ``'mor'`` (merge-on-read) appends
+    the LWW-deduped batch as delta files WITHOUT reading current state —
+    ingest cost stops depending on table size; reads resolve winners
+    until ``table.compact`` folds deltas into the base. Same final
+    state either way (test-asserted by state hash).
 
     Returns None when the whole batch was already applied (replay).
 
@@ -135,6 +143,14 @@ def merge_batch(
         if (s := sum(r[f"n_{o}"] for r in stats_rows))
     }
 
+    # hot-key guard: J1's per-bucket counts are a free skew signal. When
+    # one bucket holds an outsized share of the batch (pathological
+    # single-key storms; Zipf alone doesn't trip this), pre-reduce the
+    # batch with the salted two-phase LWW so no single reduce task
+    # receives the whole storm. salted=True forces it.
+    max_share = max(r["n"] for r in stats_rows) / n_batch
+    salted_eff = salted or (n_batch >= 100_000 and max_share > 0.3)
+
     if transform is not None:
         # A micro-batch segment is often 1-2 parquet splits (<= a couple
         # hundred MB), which would cap the Python transform stage at 1-2
@@ -158,6 +174,36 @@ def merge_batch(
     ]
     evolved_schema = T.StructType(table_schema.fields + new_fields)
 
+    if mode == "mor":
+        # ---- J2 (merge-on-read): dedupe batch, append delta files -----------
+        deduped = lww_dedup(fresh.drop("batch_id"), table.key_cols,
+                            salted=salted_eff)
+        payload = [
+            (F.col(f.name) if f.name in deduped.columns
+             else F.lit(None).cast(f.dataType).alias(f.name))
+            for f in evolved_schema.fields if f.name != "_lsn"
+        ]
+        delta_rows = deduped.select(
+            *payload,
+            F.col(LSN_COL).alias("_lsn"),
+            F.col(OP_COL).alias("_op"),
+            "_bucket",
+        )
+        table.commit_merge(
+            delta_rows,
+            touched_buckets=touched,
+            lsn_range=(int(lo), int(hi)),
+            batch_ids=batch_ids,
+            schema=evolved_schema,
+            lineage_extra={"op_counts": op_counts, "batch_rows": n_batch,
+                           "mode": "mor"},
+            delta=True,
+        )
+        return MergeStats(
+            batch_rows=n_batch, deduped_rows=-1,
+            touched_buckets=len(touched), op_counts=op_counts,
+        )
+
     # ---- J2: single-aggregation MERGE + write -------------------------------
     current = table.read(spark, buckets=touched, snapshot=snap)
     current = current.withColumn(OP_COL, F.lit("U")).withColumn(
@@ -165,14 +211,7 @@ def merge_batch(
     ).withColumnRenamed("_lsn", LSN_COL)
 
     batch_side = fresh.drop("batch_id")
-    # hot-key guard: J1's per-bucket counts are a free skew signal. When
-    # one bucket holds an outsized share of the batch (pathological
-    # single-key storms; Zipf alone doesn't trip this), pre-reduce the
-    # batch with the salted two-phase LWW so no single reduce task
-    # receives the whole storm. 'auto' is the default via salted=False +
-    # detection; salted=True forces it.
-    max_share = max(r["n"] for r in stats_rows) / n_batch
-    if salted or (n_batch >= 100_000 and max_share > 0.3):
+    if salted_eff:
         batch_side = lww_dedup(batch_side, table.key_cols, salted=True)
     unioned = current.unionByName(batch_side, allowMissingColumns=True)
     out_cols = [f.name for f in evolved_schema.fields if f.name != "_lsn"]

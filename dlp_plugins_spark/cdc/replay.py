@@ -73,6 +73,7 @@ def replay(
     out_of_order: bool = False,
     salted: bool = False,
     events_df: DataFrame | None = None,
+    mode: str = "mow",
 ) -> ReplayMetrics:
     """Replay binlog range [lo_lsn, hi_lsn) into ``table``.
 
@@ -103,7 +104,7 @@ def replay(
         # pipelined with the merge shuffle (no persist barrier).
         tf = (lambda df: apply_transforms(df, spec)) if spec else None
         stats = merge_batch(table, batch, batch_ids=[bid], salted=salted,
-                            transform=tf)
+                            transform=tf, mode=mode)
         dt = time.monotonic() - t_b
         if stats is None:
             metrics.skipped_batches += 1

@@ -287,3 +287,43 @@ def test_hot_key_storm_auto_salted(spark, tmp_path):
     assert hot.iloc[0]["content"] == f"v{expect}"
     # cold keys: multiples of 20 mod 50 cycle through {0,10,20,30,40}
     assert len(state) == 6
+
+
+def test_mor_replay_matches_mow(spark, tmp_path):
+    """Merge-on-read: delta appends + read-time winner resolution produce
+    the SAME final state as merge-on-write, including deletes; compaction
+    folds deltas into base without changing the hash; exactly-once holds;
+    post-compaction reads take the plain-scan path."""
+    from dlp_plugins_spark.cdc.replay import spark_state_pdf, state_hash
+
+    t_mow = _mktable(tmp_path, "mow")
+    t_mor = _mktable(tmp_path, "mor")
+    replay(spark, t_mow, 0, 3 * BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    replay(spark, t_mor, 0, 3 * BATCH, batch_size=BATCH, gen_kwargs=GEN,
+           mode="mor")
+    h_mow = state_hash(spark_state_pdf(spark, t_mow))
+    h_mor = state_hash(spark_state_pdf(spark, t_mor))
+    assert h_mor == h_mow
+
+    # deltas present before compaction
+    snap = t_mor.current_snapshot()
+    assert any(f.get("delta") for f in snap.files)
+
+    # exactly-once on the delta path
+    m = replay(spark, t_mor, 0, BATCH, batch_size=BATCH, gen_kwargs=GEN,
+               mode="mor")
+    assert m.batches == 0 and m.skipped_batches == 1
+
+    # compaction folds deltas into base, hash unchanged
+    t_mor.compact(spark, max_files_per_bucket=0)
+    snap2 = t_mor.current_snapshot()
+    assert not any(f.get("delta") for f in snap2.files)
+    assert state_hash(spark_state_pdf(spark, t_mor)) == h_mow
+
+    # post-compaction incremental MOR batch still correct
+    replay(spark, t_mow, 3 * BATCH, 4 * BATCH, batch_size=BATCH,
+           gen_kwargs=GEN)
+    replay(spark, t_mor, 3 * BATCH, 4 * BATCH, batch_size=BATCH,
+           gen_kwargs=GEN, mode="mor")
+    assert state_hash(spark_state_pdf(spark, t_mor)) == \
+        state_hash(spark_state_pdf(spark, t_mow))
