@@ -604,6 +604,34 @@ ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
 """
 
 
+def q_sql_api_pricing_summary(spark, sf_dir):
+    """Same engine surface through spark.sql: TPC-H Q1-shaped pricing
+    summary as a SQL string over registered temp views (DataFrame API
+    and SQL compile to identical Catalyst plans)."""
+    from dlp_plugins_spark.session import register_tables
+
+    register_tables(spark, sf_dir, ["lineitem"])
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
+SQL_SQL_API_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       count(*) AS n
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def q_char_ngram_jaccard(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
     ids = docs.select(F.col("doc_id").alias("_i"))
@@ -915,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_csv_orders": q_parse_csv_orders,
         "rollup_revenue": q_rollup_revenue,
         "q3_shipping": q_q3_shipping,
+        "sql_api_pricing_summary": q_sql_api_pricing_summary,
         # text analysis
         "token_stats_by_lang": q_token_stats_by_lang,
         "quality_by_source": q_quality_by_source,
@@ -970,5 +999,6 @@ def oracle_sql() -> dict[str, str]:
         "parse_csv_orders": SQL_PARSE_CSV_ORDERS,
         "rollup_revenue": SQL_ROLLUP_REVENUE,
         "q3_shipping": SQL_Q3_SHIPPING,
+        "sql_api_pricing_summary": SQL_SQL_API_PRICING,
         "char_ngram_jaccard": SQL_CHAR_NGRAM_JACCARD,
     }

@@ -53,3 +53,17 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def register_tables(spark: SparkSession, sf_dir: str,
+                    tables: list[str] | None = None) -> list[str]:
+    """Register the benchmark parquet tables as temp views so the whole
+    engine surface is reachable through ``spark.sql`` as well as the
+    DataFrame API (the two compile to the same Catalyst plans)."""
+    names = tables or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in names:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return names
