@@ -343,6 +343,28 @@ WHERE rank <= 5
 """
 
 
+def q_hourly_event_counts(spark, sf_dir):
+    """Event-time tumbling windows (streaming/windows.py batch form;
+    the same operator takes a watermark on a stream)."""
+    from dlp_plugins_spark.streaming.windows import windowed_counts
+
+    ev = _read(spark, sf_dir, "events")
+    out = windowed_counts(ev, ts_col="ts", window="1 hour",
+                          keys=["event_type"])
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("hour"),
+        "event_type", "n", "sum_value",
+    )
+
+
+SQL_HOURLY_EVENT_COUNTS = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M')
+         AS hour,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_token_stats_by_lang(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return (
@@ -944,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "q3_shipping": q_q3_shipping,
         "sql_api_pricing_summary": q_sql_api_pricing_summary,
+        "hourly_event_counts": q_hourly_event_counts,
         # text analysis
         "token_stats_by_lang": q_token_stats_by_lang,
         "quality_by_source": q_quality_by_source,
@@ -1000,5 +1023,6 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": SQL_ROLLUP_REVENUE,
         "q3_shipping": SQL_Q3_SHIPPING,
         "sql_api_pricing_summary": SQL_SQL_API_PRICING,
+        "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
         "char_ngram_jaccard": SQL_CHAR_NGRAM_JACCARD,
     }

@@ -1,0 +1,47 @@
+"""Event-time windowed aggregation with watermarks.
+
+The CDC path orders by LSN and needs no event-time reasoning; the
+metrics/analytics path over event streams does. One operator serves
+both executions:
+
+- batch: ``windowed_counts(df, ...)`` — plain ``F.window`` tumbling
+  aggregation (oracle-checkable against DuckDB time_bucket);
+- streaming: pass a streaming DataFrame and a ``watermark`` — late rows
+  older than the watermark are dropped, state for closed windows is
+  evicted (bounded state at 100 TB: state size ~ |keys| x
+  watermark/window, independent of stream length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    keys: list[str] | None = None,
+    value_col: str | None = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window counts (+ value sum) per key.
+
+    Returns (window_start, window_end, keys..., n[, sum_value])."""
+    src = df
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    out = (
+        src.groupBy(F.window(F.col(ts_col), window).alias("_w"),
+                    *(keys or []))
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *(keys or []), "n",
+        *(["sum_value"] if value_col is not None else []),
+    )

@@ -169,3 +169,59 @@ def test_streaming_lww_latest(spark, tmp_path):
     assert (10, "k1", "v10") in rows and (11, "k2", "v11") in rows
     assert (20, "k2", "v20") in rows
     assert not any(p == "stale" for _, _, p in rows)
+
+
+def test_streaming_windowed_counts_watermark(spark, tmp_path):
+    """Windowed aggregation on a stream with a watermark: a row later
+    than (max_event_time - watermark) is dropped; the same operator in
+    batch mode counts it — asserting the late-data semantics directly."""
+    import os
+    from datetime import datetime
+
+    from dlp_plugins_spark.streaming.windows import windowed_counts
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    sch = "ts timestamp, event_type string, value double"
+    b1 = [
+        (datetime(2024, 1, 1, 10, 5), "click", 1.0),
+        (datetime(2024, 1, 1, 10, 40), "click", 1.0),
+        (datetime(2024, 1, 1, 13, 10), "click", 1.0),  # advances watermark
+    ]
+    spark.createDataFrame(b1, sch).coalesce(1) \
+        .write.parquet(os.path.join(src, "b1"))
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    )
+    out = windowed_counts(stream, ts_col="ts", window="1 hour",
+                          keys=["event_type"], watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("wincounts")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("update").start())
+    q.processAllAvailable()
+    # batch 2: one event 3h late (before watermark 12:10) -> dropped;
+    # one current event -> counted
+    b2 = [
+        (datetime(2024, 1, 1, 10, 50), "click", 1.0),   # LATE: dropped
+        (datetime(2024, 1, 1, 13, 20), "click", 1.0),   # counted
+    ]
+    spark.createDataFrame(b2, sch).coalesce(1) \
+        .write.parquet(os.path.join(src, "b2"))
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start.hour, r.n)
+        for r in spark.sql("SELECT * FROM wincounts").collect()
+    }
+    # 10:00 window stays at 2 (late row dropped); 13:00 window reaches 2
+    assert (10, 2) in got and (13, 2) in got
+    assert (10, 3) not in got
+
+    # batch mode (no watermark): the late row IS counted
+    all_rows = spark.createDataFrame(b1 + b2, sch)
+    batch = windowed_counts(all_rows, ts_col="ts", window="1 hour",
+                            keys=["event_type"]).collect()
+    by_hour = {r.window_start.hour: r.n for r in batch}
+    assert by_hour[10] == 3 and by_hour[13] == 2
