@@ -343,6 +343,70 @@ WHERE rank <= 5
 """
 
 
+def q_asof_last_click_before_purchase(spark, sf_dir):
+    """As-of join (operators/joins.py): each purchase event picks up the
+    latest click by the same user at-or-before it. DuckDB's native
+    ASOF JOIN is the oracle."""
+    from dlp_plugins_spark.operators.joins import asof_join
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"))
+    # dedup right side per (user, ts): keep max click_id so tie-breaks
+    # agree with the SQL oracle
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("click_id"))
+    clicks = clicks.withColumn("_rn", F.row_number().over(w)) \
+        .filter(F.col("_rn") == 1).drop("_rn")
+    out = asof_join(buys, clicks, on=["user_id"], left_ts="ts",
+                    right_ts="ts", right_cols=["click_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("click_id_r").alias("last_click_id"),
+        F.col("ts_r").alias("last_click_ts"),
+    )
+
+
+SQL_ASOF_LAST_CLICK = """
+WITH buys AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT b.event_id, b.user_id, c.click_id AS last_click_id,
+       c.ts AS last_click_ts
+FROM buys b ASOF LEFT JOIN clicks c
+  ON b.user_id = c.user_id AND b.ts >= c.ts
+"""
+
+
+def q_range_join_event_tiers(spark, sf_dir):
+    """Range join via bucketed equi-join decomposition: label events by
+    event_id interval tiers."""
+    from dlp_plugins_spark.operators.joins import range_join_buckets
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type")
+    tiers = spark.createDataFrame(
+        [(0, 1000, "t0"), (1000, 10000, "t1"), (10000, 10**9, "t2")],
+        "lo long, hi long, tier string",
+    )
+    out = range_join_buckets(ev, tiers, "event_id", "lo", "hi",
+                             granularity=1000)
+    return out.groupBy("tier").agg(F.count("*").alias("n"))
+
+
+SQL_RANGE_JOIN_TIERS = """
+SELECT tier, count(*) AS n
+FROM events
+JOIN (VALUES (0, 1000, 't0'), (1000, 10000, 't1'),
+             (10000, 1000000000, 't2')) AS tiers(lo, hi, tier)
+  ON event_id >= lo AND event_id < hi
+GROUP BY tier
+"""
+
+
 def q_hourly_event_counts(spark, sf_dir):
     """Event-time tumbling windows (streaming/windows.py batch form;
     the same operator takes a watermark on a stream)."""
@@ -967,6 +1031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping": q_q3_shipping,
         "sql_api_pricing_summary": q_sql_api_pricing_summary,
         "hourly_event_counts": q_hourly_event_counts,
+        "asof_last_click_before_purchase": q_asof_last_click_before_purchase,
+        "range_join_event_tiers": q_range_join_event_tiers,
         # text analysis
         "token_stats_by_lang": q_token_stats_by_lang,
         "quality_by_source": q_quality_by_source,
@@ -1024,5 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping": SQL_Q3_SHIPPING,
         "sql_api_pricing_summary": SQL_SQL_API_PRICING,
         "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
+        "asof_last_click_before_purchase": SQL_ASOF_LAST_CLICK,
+        "range_join_event_tiers": SQL_RANGE_JOIN_TIERS,
         "char_ngram_jaccard": SQL_CHAR_NGRAM_JACCARD,
     }

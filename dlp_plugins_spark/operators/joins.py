@@ -1,0 +1,113 @@
+"""Temporal join operators Spark lacks as builtins, composed from
+DataFrame primitives (no Python in the hot path).
+
+- ``asof_join``: for each left row, the most recent right row with
+  ``right.ts <= left.ts`` per key (backward as-of; the time-series /
+  point-in-time-correctness join). Implemented with the union-sort
+  trick: tag both sides, union, and carry the last-seen right row
+  forward with a running ``max_by`` window over (key, ts) — ONE shuffle
+  on the key, no range-explosion, no per-left-row scan of the right
+  side. Scales as sort-within-key; skewed keys behave like any window
+  (AQE handles sizing).
+- ``range_join_buckets``: equi-join a point column to interval rows by
+  bucketing intervals to a fixed granularity first — turns an O(n*m)
+  theta-join into an equi-join + residual filter (the standard Spark
+  range-join decomposition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join. Output: every left row + the latest right
+    payload at-or-before its timestamp (nulls when none exists).
+
+    Ties (right_ts == left_ts) include the right row; multiple right
+    rows at the same timestamp resolve to the one ordered last in the
+    (stable) sort — callers needing a different tie-break should
+    pre-dedup the right side."""
+    rcols = right_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    out_names = [c + suffix for c in rcols]
+
+    # payload rides as a NATIVE struct (lossless — a JSON round-trip
+    # would truncate timestamp precision to millis)
+    payload_t = right.select(
+        *[F.col(c) for c in rcols], F.col(right_ts)
+    ).schema
+    l_tag = left.select(
+        *left.columns,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(payload_t).alias("_payload"),
+    )
+    r_tag = right.select(
+        *on,
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in left.columns if c not in on],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in rcols + [right_ts]]).alias("_payload"),
+    )
+    both = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at the same _t (side 0 < 1), so a
+    # tie is visible to the left row; the running last-seen right payload
+    # carries forward within the key partition.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.withColumn(
+        "_last", F.last(F.col("_payload"), ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 1)
+
+    return carried.select(
+        *left.columns,
+        *[F.col(f"_last.{c}").alias(n) for c, n in zip(rcols, out_names)],
+        F.col(f"_last.{right_ts}").alias(right_ts + suffix),
+    )
+
+
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    granularity: int,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """points x intervals where lo <= point < hi, via bucketed equi-join:
+    each interval explodes to the buckets it spans (bounded by
+    span/granularity), points map to one bucket, the join key is
+    (bucket[, on...]), and a residual filter restores exactness."""
+    on = on or []
+    p = points.withColumn(
+        "_bkt", (F.col(point_col) / granularity).cast("long")
+    )
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.col(lo_col) / granularity).cast("long"),
+                ((F.col(hi_col) - 1) / granularity).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(iv, on=["_bkt"] + on)
+    return joined.filter(
+        (F.col(point_col) >= F.col(lo_col))
+        & (F.col(point_col) < F.col(hi_col))
+    ).drop("_bkt")

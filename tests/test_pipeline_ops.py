@@ -251,3 +251,33 @@ def test_ivf_topk_recall(spark):
                     n_probe=6).toPandas()
     assert approx.sort_values(["query_id", "rank"]).neighbor_id.tolist() == \
         a2.sort_values(["query_id", "rank"]).neighbor_id.tolist()
+
+
+def test_asof_join_known_values(spark):
+    from dlp_plugins_spark.operators.joins import asof_join
+
+    trades = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 25, 101.0), ("B", 5, 50.0), ("B", 6, 51.0)],
+        "sym string, t long, px double")
+    quotes = spark.createDataFrame(
+        [("A", 8, 99.5), ("A", 10, 99.9), ("A", 20, 100.5), ("B", 7, 49.0)],
+        "sym string, t long, bid double")
+    out = asof_join(trades, quotes, on=["sym"], left_ts="t", right_ts="t")
+    rows = sorted((r.sym, r.t, r.bid_r, r.t_r) for r in out.collect())
+    assert rows == [
+        ("A", 10, 99.9, 10),   # tie at t=10 included
+        ("A", 25, 100.5, 20),
+        ("B", 5, None, None),  # no quote yet
+        ("B", 6, None, None),
+    ]
+
+
+def test_range_join_buckets_known_values(spark):
+    from dlp_plugins_spark.operators.joins import range_join_buckets
+
+    pts = spark.createDataFrame([(1, 15), (2, 25), (3, 99)], "id long, x long")
+    ivs = spark.createDataFrame([(10, 30, "low"), (90, 100, "high")],
+                                "lo long, hi long, label string")
+    out = range_join_buckets(pts, ivs, "x", "lo", "hi", granularity=8)
+    assert sorted((r.id, r.label) for r in out.collect()) == [
+        (1, "low"), (2, "low"), (3, "high")]
