@@ -894,6 +894,24 @@ def q_det_encrypt_roundtrip(spark, sf_dir):
     )
 
 
+def q_date_shift_context(spark, sf_dir):
+    """Context-keyed DATE_SHIFT: shift per user_id (mirrors DLP's
+    context-keyed shift — same user shifts by the same delta, different
+    users differently). Rows-only: the keyed-hash delta has no SQL
+    equivalent; invariants (bounds, per-context constancy) are asserted
+    in tests/test_kernels.py."""
+    ev = _read(spark, sf_dir, "events")
+    out = apply_transforms(ev, [{
+        "transform": "DATE_SHIFT", "fields": "ts", "filters": "NONE",
+        "transformProperties": {
+            "keyType": "TRANSIENT", "name": "entry-ctx-shift",
+            "lowerBoundDays": 10, "upperBoundDays": 120,
+            "context": "user_id",
+        },
+    }])
+    return out.select("event_id", "user_id", F.col("ts").alias("ts_shifted"))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: synthetic opaque binary payloads ->
     Arrow-batched feature extraction (decode step is the deterministic
@@ -1052,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_state": q_cdc_replay_state,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "crypto_hash_langs": q_crypto_hash_langs,
+        "date_shift_context": q_date_shift_context,
         "fpe_roundtrip": q_fpe_roundtrip,
         "det_encrypt_roundtrip": q_det_encrypt_roundtrip,
         "media_features": q_media_features,

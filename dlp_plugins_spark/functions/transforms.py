@@ -26,11 +26,7 @@ from dataclasses import dataclass
 import pandas as pd
 
 from dlp_plugins_spark.functions import crypto
-from dlp_plugins_spark.functions.detectors import (
-    INFO_TYPES,
-    Prescan,
-    resolve_detectors,
-)
+from dlp_plugins_spark.functions.detectors import Prescan, resolve_detectors
 
 # ref widget charsToIgnoreEnum values
 # (widgets/SensitiveRecordRedaction-transform.json:148-181)

@@ -28,12 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from dlp_plugins_spark.functions.text import (
-    fingerprint_md5,
-    normalize_text,
-    shingles,
-    with_shingle_set,
-)
+from dlp_plugins_spark.functions.text import fingerprint_md5, with_shingle_set
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",

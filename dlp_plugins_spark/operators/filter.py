@@ -25,7 +25,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from dlp_plugins_spark.functions.detectors import (
-    INFO_TYPES,
     Prescan,
     compile_template,
     expand_groups,

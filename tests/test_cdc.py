@@ -327,3 +327,45 @@ def test_mor_replay_matches_mow(spark, tmp_path):
            gen_kwargs=GEN, mode="mor")
     assert state_hash(spark_state_pdf(spark, t_mor)) == \
         state_hash(spark_state_pdf(spark, t_mow))
+
+
+def test_crash_before_pointer_swap_is_invisible(spark, tmp_path):
+    """Atomicity: a writer that dies AFTER writing data files and the
+    snapshot manifest but BEFORE swapping the _current pointer leaves
+    the table exactly as it was — readers never see a partial commit."""
+    import json
+    import os
+
+    from dlp_plugins_spark.cdc.lake import Snapshot
+    from dlp_plugins_spark.cdc.replay import spark_state_pdf, state_hash
+
+    table = _mktable(tmp_path, "crash")
+    replay(spark, table, 0, BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    h = state_hash(spark_state_pdf(spark, table))
+    snap = table.current_snapshot()
+
+    # simulate the torn commit: orphan data dir + orphan snapshot file,
+    # pointer untouched
+    fake_dir = os.path.join(table.path, "data", "commit-00000099", "bucket=0")
+    os.makedirs(fake_dir)
+    with open(os.path.join(fake_dir, "part-zzz.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+    fake = Snapshot(
+        snapshot_id=99, schema_json=snap.schema_json,
+        files=[{"path": "data/commit-00000099/bucket=0/part-zzz.parquet",
+                "bucket": 0, "rows": 1}],
+        applied_ranges=snap.applied_ranges, applied_batches=[0, 99],
+        parent=snap.snapshot_id, properties=snap.properties,
+    )
+    with open(os.path.join(table.path, "snapshots",
+                           "snapshot-00000099.json"), "w") as f:
+        f.write(fake.to_json())
+
+    # a fresh load sees only the committed snapshot; state unchanged
+    from dlp_plugins_spark.cdc.lake import LakeTable
+    t2 = LakeTable.load(table.path)
+    assert t2.current_snapshot().snapshot_id == snap.snapshot_id
+    assert state_hash(spark_state_pdf(spark, t2)) == h
+    # and the next real replay continues cleanly past the debris
+    m = replay(spark, t2, BATCH, 2 * BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    assert m.batches == 1
