@@ -407,6 +407,67 @@ GROUP BY tier
 """
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag + running sum of session-break flags per user — one shuffle,
+    pure window functions."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch (UTC)
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("_brk", new_sess).withColumn(
+        "session_idx",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS brk,
+         ts, event_id
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx, count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+def q_value_percentiles_by_type(spark, sf_dir):
+    """Exact continuous percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_hourly_event_counts(spark, sf_dir):
     """Event-time tumbling windows (streaming/windows.py batch form;
     the same operator takes a watermark on a stream)."""
@@ -1051,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_counts": q_hourly_event_counts,
         "asof_last_click_before_purchase": q_asof_last_click_before_purchase,
         "range_join_event_tiers": q_range_join_event_tiers,
+        "sessionize_events": q_sessionize_events,
+        "value_percentiles_by_type": q_value_percentiles_by_type,
         # text analysis
         "token_stats_by_lang": q_token_stats_by_lang,
         "quality_by_source": q_quality_by_source,
@@ -1111,5 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
         "asof_last_click_before_purchase": SQL_ASOF_LAST_CLICK,
         "range_join_event_tiers": SQL_RANGE_JOIN_TIERS,
+        "sessionize_events": SQL_SESSIONIZE,
+        "value_percentiles_by_type": SQL_VALUE_PERCENTILES,
         "char_ngram_jaccard": SQL_CHAR_NGRAM_JACCARD,
     }
