@@ -1,0 +1,72 @@
+"""Reference-fixture parity (FIXTURES.md F3/F4).
+
+F3 mirrors UtilsTest.java:45-115 — the reference's only real unit test:
+a (firstName, lastName, dob: date) record converted to a DLP table and
+back must round-trip, with transforms preserving schema/shape. The
+engine's analogue: the same schema through the Arrow boundary and a
+transform plan, values and types intact for untouched fields.
+
+F4 mirrors the example call-center pipeline
+(examples/example-redaction-pipeline.json): mask the `notes` field's
+findings, pass every other column through untouched.
+"""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from dlp_plugins_spark.operators.redaction import apply_transforms
+
+
+def test_f3_roundtrip_schema_and_untouched_values(spark):
+    df = spark.createDataFrame(
+        [("John", "Smith", datetime.date(2019, 1, 1)),
+         ("Jane", None, None)],
+        "firstName string, lastName string, dob date",
+    )
+    out = apply_transforms(df, [{
+        "transform": "MASKING", "fields": "lastName", "filters": "NONE",
+        "transformProperties": {"maskingChar": "#"},
+    }])
+    # output schema == input schema (ref setOutputSchema(inputSchema))
+    assert out.schema == df.schema
+    rows = {r.firstName: r for r in out.collect()}
+    assert rows["John"].lastName == "#####"
+    assert rows["John"].dob == datetime.date(2019, 1, 1)  # untouched
+    # nulls pass through (ref skips null fields entirely)
+    assert rows["Jane"].lastName is None and rows["Jane"].dob is None
+
+
+def test_f3_date_shift_on_date_type(spark):
+    df = spark.createDataFrame(
+        [("John", datetime.date(2019, 1, 1))], "name string, dob date")
+    out = apply_transforms(df, [{
+        "transform": "DATE_SHIFT", "fields": "dob", "filters": "NONE",
+        "transformProperties": {"keyType": "TRANSIENT", "name": "f3",
+                                "lowerBoundDays": 1, "upperBoundDays": 30},
+    }]).collect()[0]
+    delta = (out.dob - datetime.date(2019, 1, 1)).days
+    assert 1 <= delta <= 30
+    assert isinstance(out.dob, datetime.date)
+
+
+def test_f4_call_center_notes_masking(spark):
+    df = spark.createDataFrame(
+        [(datetime.datetime(2020, 1, 1, 9, 30), "auto", "Wells", "CA",
+          "94105", "customer ssn 532-12-1234 called about rate"),
+         (datetime.datetime(2020, 1, 2, 10, 0), "home", "Chase", "NY",
+          "10001", "routine follow-up, no pii")],
+        "date timestamp, loan_type string, bank string, state string, "
+        "zip string, notes string",
+    )
+    out = apply_transforms(df, [{
+        "transform": "MASKING", "fields": "notes", "filters": "TAX",
+        "transformProperties": {"maskingChar": "*"},
+    }])
+    rows = sorted(out.collect(), key=lambda r: r.date)
+    assert "532-12-1234" not in rows[0].notes
+    assert "***********" in rows[0].notes
+    assert rows[1].notes == "routine follow-up, no pii"
+    # every non-target column untouched
+    assert rows[0].bank == "Wells" and rows[0].zip == "94105"
+    assert out.schema == df.schema
