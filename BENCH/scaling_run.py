@@ -142,8 +142,23 @@ def main() -> None:
         .write.mode("overwrite").parquet(binlog_path)
     spark.stop()
 
-    rN = run_child(CORES_N, binlog_path, os.path.join(work, "tN"), batch)
-    r4N = run_child(CORES_4N, binlog_path, os.path.join(work, "t4N"), batch)
+    # best-of-N per level: co-tenant load on this shared VM can swing a
+    # single run's wall by 30%+ (the CPU probe degrades in lockstep);
+    # repeats recover the host's quiet-state capability
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "1"))
+
+    def best(cores: int, tag: str) -> dict:
+        runs = [
+            run_child(cores, binlog_path,
+                      os.path.join(work, f"{tag}_{i}"), batch)
+            for i in range(repeats)
+        ]
+        hashes = {r["state_hash"] for r in runs}
+        assert len(hashes) == 1, f"nondeterministic state: {hashes}"
+        return max(runs, key=lambda r: r["events_per_sec"])
+
+    rN = best(CORES_N, "tN")
+    r4N = best(CORES_4N, "t4N")
     eff = (r4N["events_per_sec"] / rN["events_per_sec"]) / 4.0
     hw_eff = hw[f"eff_{CORES_N}_to_{CORES_4N}"]
     hashes_match = rN["state_hash"] == r4N["state_hash"]
