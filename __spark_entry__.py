@@ -1,13 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship: DLP redaction pipeline over sf0.001 docs.
-``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
-training-data-pipeline operators); each callable (spark, sf_dir) -> DF.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 incl.
+§2.7 engine-added ops + the training-data-pipeline operators); each
+callable (spark, sf_dir) -> DF. 48 entries.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/aliases both sides; floats rounded identically).
-Queries without an oracle entry are approximate/non-SQL ops (LSH ANN,
-minhash pairs, simhash, lang-ID heuristic, CDC lake replay) — the driver
-records rows-only checks for those.
+34 entries. Queries without an oracle are approximate or engine-native
+(LSH/IVF ANN, minhash pairs, simhash, lang-ID heuristic, crypto with no
+DuckDB equivalent, multimodal plumbing, CDC lake replay) — the driver
+records rows-only checks for those; their real verification lives in
+tests/ (round-trips, recall gates, state-hash parity).
 """
 
 from __future__ import annotations
