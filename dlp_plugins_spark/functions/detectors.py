@@ -306,6 +306,24 @@ def compile_template(template: dict[str, str]) -> list[InfoType]:
     return out
 
 
+def load_template_file(path: str) -> dict[str, str]:
+    """Load a custom inspect template from a JSON file of
+    ``{"NAME": "regex", ...}`` (ref widget ``customTemplatePath`` —
+    template referenced by path instead of inline). Validation happens in
+    ``compile_template`` at plan time."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    if not isinstance(data, dict) or not all(
+        isinstance(k, str) and isinstance(v, str) for k, v in data.items()
+    ):
+        raise ValueError(
+            f"template file {path!r} must be a JSON object of name -> regex"
+        )
+    return data
+
+
 def resolve_detectors(items: list) -> list[InfoType]:
     """Names (looked up in the registry) and/or ad-hoc InfoType objects
     (from a custom template) -> InfoType list."""

@@ -114,6 +114,19 @@ class TransformPlan:
         template = None
         if isinstance(spec, dict):
             template = spec.get("customTemplate")
+            tpath = spec.get("customTemplatePath")
+            if tpath is not None:
+                # ref widget: template referenced by file path
+                if template is not None:
+                    raise SpecValidationError(
+                        "customTemplate and customTemplatePath are "
+                        "mutually exclusive"
+                    )
+                from dlp_plugins_spark.functions.detectors import (
+                    load_template_file,
+                )
+
+                template = load_template_file(tpath)
             spec = spec.get("fieldsToTransform", [])
         entries = [
             e if isinstance(e, FieldTransformSpec) else FieldTransformSpec.from_dict(e)

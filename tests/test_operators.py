@@ -272,3 +272,39 @@ def test_custom_template_redact_and_split(spark):
                 "transform": "REDACT", "fields": "t", "filters": "CUSTOM"}],
             "customTemplate": {"BAD": "("},
         })
+
+
+def test_custom_template_from_file(spark, tmp_path):
+    import json as _json
+
+    from dlp_plugins_spark.operators.redaction import apply_transforms
+    from dlp_plugins_spark.plans.spec import SpecValidationError
+
+    tpath = tmp_path / "tmpl.json"
+    tpath.write_text(_json.dumps({"TICKET_ID": r"\bJIRA-\d+\b"}))
+    df = spark.createDataFrame([(1, "see JIRA-77 please")],
+                               "id long, t string")
+    out = apply_transforms(df, {
+        "fieldsToTransform": [
+            {"transform": "REDACT", "fields": "t", "filters": "CUSTOM"}],
+        "customTemplatePath": str(tpath),
+    }).collect()
+    assert out[0].t == "see  please"
+    # inline + path together is a plan error
+    import pytest as _pytest
+    with _pytest.raises(SpecValidationError):
+        apply_transforms(df, {
+            "fieldsToTransform": [
+                {"transform": "REDACT", "fields": "t", "filters": "CUSTOM"}],
+            "customTemplate": {"A": "x"},
+            "customTemplatePath": str(tpath),
+        })
+    # malformed file rejected
+    bad = tmp_path / "bad.json"
+    bad.write_text("[1,2]")
+    with _pytest.raises(ValueError):
+        apply_transforms(df, {
+            "fieldsToTransform": [
+                {"transform": "REDACT", "fields": "t", "filters": "CUSTOM"}],
+            "customTemplatePath": str(bad),
+        })
