@@ -39,6 +39,15 @@ CURRENT_PTR = "_current"
 SNAPSHOT_DIR = "snapshots"
 DATA_DIR = "data"
 LINEAGE_DIR = "lineage"
+COMMIT_LOCK = "_commit.lock"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed since this merge read its base snapshot.
+
+    Optimistic concurrency (Iceberg semantics): the loser retries its
+    whole merge against the new current snapshot — data files it wrote
+    are orphans until expire_snapshots."""
 
 
 def key_bucket_expr(key_cols: list[str], n_buckets: int):
@@ -71,7 +80,10 @@ class Snapshot:
 
 
 class LakeTable:
-    """Single-writer, many-reader bucketed lake table."""
+    """Bucketed lake table: many readers, optimistic-concurrency writers
+    (the manifest swap is a file-locked critical section; a merge
+    computed against a stale snapshot raises CommitConflict and commits
+    nothing — Iceberg's commit model)."""
 
     def __init__(self, path: str, key_cols: list[str], n_buckets: int = 64):
         self.path = path
@@ -222,6 +234,7 @@ class LakeTable:
         schema: T.StructType,
         lineage_extra: dict | None = None,
         delta: bool = False,
+        expected_parent: int | None = None,
     ) -> Snapshot:
         """Write new files for ``touched_buckets`` and commit.
 
@@ -231,11 +244,25 @@ class LakeTable:
         the written files are flagged as deltas — appended change rows
         (with an ``_op`` column) that ``read`` resolves lazily.
 
-        ``new_data_by_bucket`` must carry a ``_bucket`` column."""
-        prev = self.current_snapshot()
-        commit_id = prev.snapshot_id + 1
+        ``new_data_by_bucket`` must carry a ``_bucket`` column.
+
+        ``expected_parent``: optimistic concurrency — the snapshot id the
+        caller's merge was computed against. The manifest swap happens
+        under a file lock; if another writer advanced the table since,
+        ``CommitConflict`` raises and NOTHING is committed (the data
+        files written below become orphans, removed by
+        expire_snapshots). Data dirs carry a unique token, never a
+        snapshot id, so racing writers cannot clobber each other's
+        files."""
+        base = self.current_snapshot()
+        if expected_parent is not None and base.snapshot_id != expected_parent:
+            raise CommitConflict(
+                f"table advanced to snapshot {base.snapshot_id}, merge was "
+                f"computed against {expected_parent}"
+            )
         kind = "delta" if delta else "commit"
-        rel_dir = os.path.join(DATA_DIR, f"{kind}-{commit_id:08d}")
+        token = uuid.uuid4().hex[:12]
+        rel_dir = os.path.join(DATA_DIR, f"{kind}-{token}")
         out_dir = os.path.join(self.path, rel_dir)
 
         # One file per bucket: repartition by bucket, write partitioned.
@@ -275,40 +302,56 @@ class LakeTable:
                 files.append(entry)
                 bucket_rows[str(b)] = bucket_rows.get(str(b), 0) + nrows_f
 
+        # ---- manifest swap: the only mutual-exclusion section ---------------
+        import fcntl
+
         touched = set(touched_buckets)
-        if delta:
-            kept = list(prev.files)  # append-only: nothing is replaced
-        else:
-            kept = [f for f in prev.files if f["bucket"] not in touched]
-        # maintenance commits (compaction) apply no LSNs: skip the range
-        new_ranges = prev.applied_ranges + (
-            [list(lsn_range)] if 0 <= lsn_range[0] <= lsn_range[1] else []
-        )
-        snap = Snapshot(
-            snapshot_id=commit_id,
-            schema_json=json.dumps(schema.jsonValue()),
-            files=kept + files,
-            applied_ranges=new_ranges,
-            applied_batches=sorted(set(prev.applied_batches) | set(batch_ids)),
-            parent=prev.snapshot_id,
-            properties=prev.properties,
-        )
-        self._write_snapshot(snap)
-        lineage = {
-            "snapshot_id": commit_id,
-            "parent": prev.snapshot_id,
-            "batch_ids": sorted(batch_ids),
-            "lsn_range": list(lsn_range),
-            "touched_buckets": sorted(touched_buckets),
-            "bucket_rows": bucket_rows,
-            "n_files": len(files),
-            **(lineage_extra or {}),
-        }
-        lpath = os.path.join(self.path, LINEAGE_DIR, f"commit-{commit_id:08d}.json")
-        tmp = lpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(lineage, f, sort_keys=True)
-        os.replace(tmp, lpath)
+        lock_path = os.path.join(self.path, COMMIT_LOCK)
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            prev = self.current_snapshot()
+            if expected_parent is not None and \
+                    prev.snapshot_id != expected_parent:
+                raise CommitConflict(
+                    f"table advanced to snapshot {prev.snapshot_id}, merge "
+                    f"was computed against {expected_parent}"
+                )
+            commit_id = prev.snapshot_id + 1
+            if delta:
+                kept = list(prev.files)  # append-only: nothing is replaced
+            else:
+                kept = [f for f in prev.files if f["bucket"] not in touched]
+            # maintenance commits (compaction) apply no LSNs: skip the range
+            new_ranges = prev.applied_ranges + (
+                [list(lsn_range)] if 0 <= lsn_range[0] <= lsn_range[1] else []
+            )
+            snap = Snapshot(
+                snapshot_id=commit_id,
+                schema_json=json.dumps(schema.jsonValue()),
+                files=kept + files,
+                applied_ranges=new_ranges,
+                applied_batches=sorted(
+                    set(prev.applied_batches) | set(batch_ids)),
+                parent=prev.snapshot_id,
+                properties=prev.properties,
+            )
+            self._write_snapshot(snap)
+            lineage = {
+                "snapshot_id": commit_id,
+                "parent": prev.snapshot_id,
+                "batch_ids": sorted(batch_ids),
+                "lsn_range": list(lsn_range),
+                "touched_buckets": sorted(touched_buckets),
+                "bucket_rows": bucket_rows,
+                "n_files": len(files),
+                **(lineage_extra or {}),
+            }
+            lpath = os.path.join(
+                self.path, LINEAGE_DIR, f"commit-{commit_id:08d}.json")
+            tmp = lpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(lineage, f, sort_keys=True)
+            os.replace(tmp, lpath)
         return snap
 
     # -- maintenance -------------------------------------------------------------
@@ -338,6 +381,7 @@ class LakeTable:
             schema=snap.schema(),
             lineage_extra={"maintenance": "compact",
                            "compacted_buckets": sorted(crowded)},
+            expected_parent=snap.snapshot_id,
         )
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:

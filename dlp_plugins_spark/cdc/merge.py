@@ -198,6 +198,7 @@ def merge_batch(
             lineage_extra={"op_counts": op_counts, "batch_rows": n_batch,
                            "mode": "mor"},
             delta=True,
+            expected_parent=snap.snapshot_id,
         )
         return MergeStats(
             batch_rows=n_batch, deduped_rows=-1,
@@ -232,6 +233,7 @@ def merge_batch(
         batch_ids=batch_ids,
         schema=evolved_schema,
         lineage_extra={"op_counts": op_counts, "batch_rows": n_batch},
+        expected_parent=snap.snapshot_id,
     )
     return MergeStats(
         batch_rows=n_batch,

@@ -369,3 +369,30 @@ def test_crash_before_pointer_swap_is_invisible(spark, tmp_path):
     # and the next real replay continues cleanly past the debris
     m = replay(spark, t2, BATCH, 2 * BATCH, batch_size=BATCH, gen_kwargs=GEN)
     assert m.batches == 1
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    """Optimistic concurrency: a merge computed against a stale snapshot
+    must raise CommitConflict and commit nothing."""
+    from dlp_plugins_spark.cdc.lake import CommitConflict
+    from dlp_plugins_spark.cdc.replay import spark_state_pdf, state_hash
+
+    table = _mktable(tmp_path, "occ")
+    replay(spark, table, 0, BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    stale = table.current_snapshot()
+    # writer B advances the table
+    replay(spark, table, BATCH, 2 * BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    h = state_hash(spark_state_pdf(spark, table))
+    sid = table.current_snapshot().snapshot_id
+    # writer A tries to commit against the stale base
+    winners = table.read(spark).withColumn(
+        "_bucket", __import__("pyspark.sql.functions", fromlist=["F"]).lit(0))
+    import pytest as _pytest
+    with _pytest.raises(CommitConflict):
+        table.commit_merge(
+            winners, touched_buckets=[0], lsn_range=(99, 99),
+            batch_ids=[99], schema=stale.schema(),
+            expected_parent=stale.snapshot_id,
+        )
+    assert table.current_snapshot().snapshot_id == sid
+    assert state_hash(spark_state_pdf(spark, table)) == h
