@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "date_shift_events",
     "crypto_hash_langs",
     "fpe_roundtrip",
+    "redact_custom_template",
+    "det_encrypt_roundtrip",
     "lww_latest_event_per_user",
     "cdc_final_state_users",
     "agg_events_by_type",
@@ -47,14 +49,22 @@ BENCH_QUERIES = [
     "q3_shipping",
     "rollup_revenue",
     "top5_orders_per_status",
+    "sql_api_pricing_summary",
+    "hourly_event_counts",
+    "sessionize_events",
+    "value_percentiles_by_type",
+    "asof_last_click_before_purchase",
+    "range_join_event_tiers",
     "token_stats_by_lang",
     "quality_by_source",
     "exact_dedup_groups",
+    "exact_dedup_keep",
     "char_ngram_jaccard",
     "minhash_near_dup_pairs",
     "simhash_docs",
     "brute_force_topk",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "media_features",
 ]
 
