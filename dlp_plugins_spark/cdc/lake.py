@@ -181,8 +181,11 @@ class LakeTable:
         Merge-on-read: when the snapshot carries delta files (appended by
         ``merge_batch(mode='mor')``), winners resolve here — base rows and
         delta rows reduce to the max-LSN row per key, delta tombstones
-        (``_op='D'``) drop out. Snapshots without deltas take the plain
-        scan fast path (no shuffle)."""
+        (``_op='D'``) drop out. Resolution shuffles ONLY buckets that
+        actually have deltas; clean buckets stay on the plain-scan path
+        and union in shuffle-free (at scale a few dirty buckets must not
+        force a full-table shuffle). Snapshots without deltas are a pure
+        scan."""
         snap = snapshot or self.current_snapshot()
         schema = snap.schema()
         want = None if buckets is None else set(buckets)
@@ -196,33 +199,42 @@ class LakeTable:
         ]
         if not base and not delta:
             return spark.createDataFrame([], schema)
-        base_df = None
-        if base:
-            base_df = spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, f["path"]) for f in base]
+
+        dirty = {f["bucket"] for f in delta}
+        clean_base = [f for f in base if f["bucket"] not in dirty]
+        dirty_base = [f for f in base if f["bucket"] in dirty]
+
+        def scan(files, sch):
+            return spark.read.schema(sch).parquet(
+                *[os.path.join(self.path, f["path"]) for f in files]
             )
+
+        clean_df = scan(clean_base, schema) if clean_base else None
         if not delta:
-            return base_df
+            return clean_df if clean_df is not None \
+                else spark.createDataFrame([], schema)
+
         delta_schema = T.StructType(
             schema.fields + [T.StructField("_op", T.StringType(), True)]
         )
-        delta_df = spark.read.schema(delta_schema).parquet(
-            *[os.path.join(self.path, f["path"]) for f in delta]
-        )
-        if base_df is not None:
-            both = base_df.withColumn("_op", F.lit("U")) \
+        delta_df = scan(delta, delta_schema)
+        if dirty_base:
+            both = scan(dirty_base, schema).withColumn("_op", F.lit("U")) \
                 .unionByName(delta_df, allowMissingColumns=True)
         else:
             both = delta_df
         cols = [f.name for f in schema.fields]
         row = F.struct(*[F.col(c) for c in cols + ["_op"]])
-        return (
+        resolved = (
             both.groupBy(*self.key_cols)
             .agg(F.max_by(row, F.col("_lsn")).alias("_r"))
             .select("_r.*")
             .filter(F.col("_op") != "D")
             .drop("_op")
         )
+        if clean_df is None:
+            return resolved
+        return clean_df.unionByName(resolved)
 
     # -- commit ------------------------------------------------------------------
     def commit_merge(

@@ -74,11 +74,16 @@ def replay(
     salted: bool = False,
     events_df: DataFrame | None = None,
     mode: str = "mow",
+    compact_every: int | None = None,
 ) -> ReplayMetrics:
     """Replay binlog range [lo_lsn, hi_lsn) into ``table``.
 
     ``events_df``: feed pre-materialized events instead of generating
-    (used by duplicate-batch tests). Batch boundaries follow batch_id."""
+    (used by duplicate-batch tests). Batch boundaries follow batch_id.
+
+    ``compact_every``: in merge-on-read mode, fold deltas into base
+    files after every N applied batches (the maintenance cadence that
+    keeps read-time resolution bounded)."""
     spec = transform_spec if transform_spec is not None else DEFAULT_TRANSFORM_SPEC
     gen_kwargs = dict(gen_kwargs or {})
     gen_kwargs["batch_size"] = batch_size
@@ -112,6 +117,8 @@ def replay(
         else:
             metrics.batches += 1
             metrics.events += stats.batch_rows
+            if compact_every and metrics.batches % compact_every == 0:
+                table.compact(spark, max_files_per_bucket=1)
             metrics.per_batch.append({
                 "batch_id": bid, "rows": stats.batch_rows,
                 "buckets": stats.touched_buckets, "sec": round(dt, 3),

@@ -396,3 +396,43 @@ def test_commit_conflict_detected(spark, tmp_path):
         )
     assert table.current_snapshot().snapshot_id == sid
     assert state_hash(spark_state_pdf(spark, table)) == h
+
+
+def test_mor_partial_dirty_buckets_and_compact_cadence(spark, tmp_path):
+    """Only delta-bearing buckets go through read-time resolution (clean
+    buckets union in scan-only); compact_every folds deltas on cadence
+    and the final state still matches merge-on-write."""
+    from pyspark.sql import functions as F
+
+    from dlp_plugins_spark.cdc.merge import merge_batch
+    from dlp_plugins_spark.cdc.replay import spark_state_pdf, state_hash
+
+    # table with a MOW base across many buckets
+    t = _mktable(tmp_path, "mixed")
+    replay(spark, t, 0, BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    base_hash = state_hash(spark_state_pdf(spark, t))
+
+    # a MOR batch touching ONE key (one bucket dirty, rest clean)
+    one = spark.createDataFrame(
+        [(10**9, "U", "org/only", "src/x.py", "c" * 40, "py", "vX", 777)],
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, batch_id long",
+    )
+    merge_batch(t, one, batch_ids=[777], mode="mor")
+    snap = t.current_snapshot()
+    dirty = {f["bucket"] for f in snap.files if f.get("delta")}
+    assert len(dirty) == 1
+    state = spark_state_pdf(spark, t)
+    assert (state.repo == "org/only").sum() == 1
+    # all base rows still present
+    assert len(state) >= 1
+
+    # cadence compaction: mor replay with compact_every=1 leaves no deltas
+    t2 = _mktable(tmp_path, "cadence")
+    replay(spark, t2, 0, 2 * BATCH, batch_size=BATCH, gen_kwargs=GEN,
+           mode="mor", compact_every=1)
+    assert not any(f.get("delta") for f in t2.current_snapshot().files)
+    t3 = _mktable(tmp_path, "mow_ref")
+    replay(spark, t3, 0, 2 * BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    assert state_hash(spark_state_pdf(spark, t2)) == \
+        state_hash(spark_state_pdf(spark, t3))
