@@ -366,6 +366,38 @@ class LakeTable:
             os.replace(tmp, lpath)
         return snap
 
+    # -- lineage ------------------------------------------------------------------
+    def lineage_records(self) -> list[dict]:
+        """All commit lineage records (snapshot id, parent, batch ids,
+        LSN range, per-bucket row counts, op counts), oldest first —
+        the audit trail the north rule requires next to each commit."""
+        import glob as _glob
+
+        out = []
+        for p in sorted(_glob.glob(
+                os.path.join(self.path, LINEAGE_DIR, "commit-*.json"))):
+            with open(p) as f:
+                out.append(json.load(f))
+        return out
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        """Lineage records as a DataFrame for SQL-side auditing."""
+        recs = self.lineage_records()
+        schema = (
+            "snapshot_id long, parent long, batch_ids array<long>, "
+            "lsn_range array<long>, touched_buckets array<long>, "
+            "n_files long, batch_rows long"
+        )
+        rows = [
+            (r.get("snapshot_id"), r.get("parent"),
+             [int(b) for b in r.get("batch_ids", [])],
+             [int(x) for x in r.get("lsn_range", [])],
+             [int(b) for b in r.get("touched_buckets", [])],
+             r.get("n_files"), r.get("batch_rows"))
+            for r in recs
+        ]
+        return spark.createDataFrame(rows, schema)
+
     # -- maintenance -------------------------------------------------------------
     def compact(self, spark: SparkSession,
                 max_files_per_bucket: int = 1) -> Snapshot:

@@ -436,3 +436,17 @@ def test_mor_partial_dirty_buckets_and_compact_cadence(spark, tmp_path):
     replay(spark, t3, 0, 2 * BATCH, batch_size=BATCH, gen_kwargs=GEN)
     assert state_hash(spark_state_pdf(spark, t2)) == \
         state_hash(spark_state_pdf(spark, t3))
+
+
+def test_lineage_records_and_df(spark, tmp_path):
+    table = _mktable(tmp_path, "lin")
+    replay(spark, table, 0, 2 * BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    recs = table.lineage_records()
+    assert len(recs) == 2
+    assert recs[0]["lsn_range"] == [0, BATCH - 1]
+    assert recs[1]["lsn_range"] == [BATCH, 2 * BATCH - 1]
+    assert recs[0]["batch_rows"] == BATCH
+    df = table.lineage_df(spark)
+    got = {r.snapshot_id: r for r in df.collect()}
+    assert got[1].batch_ids == [0] and got[2].batch_ids == [1]
+    assert got[2].parent == 1
