@@ -190,11 +190,8 @@ def count_findings(df: DataFrame, field: str, filters: list[str],
         def per(text):
             if text is None:
                 return {}
-            return {
-                n: len(it.findall(text))
-                for n, it in pats.items()
-                if it.findall(text)
-            }
+            counts = {n: len(it.findall(text)) for n, it in pats.items()}
+            return {n: c for n, c in counts.items() if c}
         return s.map(per)
 
     return df.withColumn("_findings", findings(F.col(field).cast("string")))

@@ -188,6 +188,13 @@ def ann_topk(
     )
 
 
+def spark_empty_topk(spark, query_id_col: str = "query_id"):
+    """Empty (query_id, neighbor_id, cosine, rank) result frame."""
+    return spark.createDataFrame(
+        [], f"{query_id_col} long, neighbor_id long, cosine double, rank int"
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the k-means scale path
 # ---------------------------------------------------------------------------
@@ -273,6 +280,8 @@ def ivf_topk(
     )
 
     qpdf = queries.select(query_id_col, vec_col).toPandas()
+    if len(qpdf) == 0:
+        return spark_empty_topk(df.sparkSession, query_id_col)
     qm = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
     qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     probes = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
