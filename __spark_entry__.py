@@ -1040,6 +1040,14 @@ def q_simhash_docs(spark, sf_dir):
     return D.simhash(docs).select("doc_id", "simhash")
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """Hamming<=k simhash pairs via pigeonhole banding (k+1 bands ->
+    equi-join candidates -> popcount verify)."""
+    docs = _read(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(docs, k=4).select(
+        "a_id", "b_id", "hamming")
+
+
 def q_lang_detect(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return TX.detect_language(docs).select("doc_id", "lang_detected")
@@ -1130,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "simhash_docs": q_simhash_docs,
+        "simhash_near_dups": q_simhash_near_dups,
         "lang_detect": q_lang_detect,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,

@@ -294,8 +294,55 @@ def simhash(df: DataFrame, text_col: str = "text",
 def simhash_dedup(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Drop rows whose simhash collides with a smaller-id row (near-dup at
-    Hamming distance 0; for k>0 use banded rotations — TODO round 2)."""
+    Hamming distance 0; use ``simhash_near_dup_pairs`` for k > 0)."""
     with_sig = simhash(df, text_col)
     w = Window.partitionBy("simhash").orderBy(F.col(id_col))
     return (with_sig.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn", "simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(a_id, b_id, hamming) pairs with simhash Hamming distance <= k.
+
+    Pigeonhole banding: split the 64-bit signature into k+1 bands — any
+    pair within distance k agrees EXACTLY on at least one band, so
+    candidates come from equi-joins on (band_idx, band_bits) and only
+    candidates pay the popcount verification. Shuffle width is
+    (k+1) x rows of (id, 8-byte band) — the standard way to make
+    Hamming search join-shaped at corpus scale."""
+    n_bands = k + 1
+    width = 64 // n_bands
+    sig = simhash(df.select(id_col, text_col), text_col).select(
+        id_col, "simhash")
+    bands = sig.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1) if n_bands > 1
+                        else F.lit(-1))
+            for i in range(n_bands)
+        ])).alias("_band_idx", "_band_bits"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a._band_idx") == F.col("b._band_idx"))
+            & (F.col("a._band_bits") == F.col("b._band_bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= k)
+        .select("a_id", "b_id", "hamming")
+    )

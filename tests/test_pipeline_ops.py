@@ -281,3 +281,21 @@ def test_range_join_buckets_known_values(spark):
     out = range_join_buckets(pts, ivs, "x", "lo", "hi", granularity=8)
     assert sorted((r.id, r.label) for r in out.collect()) == [
         (1, "low"), (2, "low"), (3, "high")]
+
+
+def test_simhash_near_dup_pairs(spark):
+    # identical texts -> hamming 0; one-word change -> small hamming;
+    # unrelated text -> not a pair at k=3
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 4),
+         (2, "the quick brown fox jumps over the lazy dog " * 4),
+         (3, ("the quick brown fox jumps over the lazy dog " * 4)
+             .replace("lazy", "sleepy", 1)),
+         (4, "completely different content about database merge commits "
+             "and stream processing windows " * 3)],
+        "doc_id long, text string")
+    pairs = {(r.a_id, r.b_id): r.hamming
+             for r in D.simhash_near_dup_pairs(df, k=6).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 6
+    assert not any(4 in p for p in pairs)
