@@ -3,7 +3,7 @@
 ``entry(spark)`` — flagship: DLP redaction pipeline over sf0.001 docs.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 incl.
 §2.7 engine-added ops + the training-data-pipeline operators); each
-callable (spark, sf_dir) -> DF. 48 entries.
+callable (spark, sf_dir) -> DF. 49 entries.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/aliases both sides; floats rounded identically).
 34 entries. Queries without an oracle are approximate or engine-native

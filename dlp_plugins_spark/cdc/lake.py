@@ -280,9 +280,13 @@ class LakeTable:
         # One file per bucket: repartition by bucket, write partitioned.
         # NB: partition dir name must not start with '_' (Hadoop hides such
         # paths from listings), so the partition column is plain `bucket`.
+        # rows sort by key within each bucket file: parquet row-group
+        # min/max stats then prune key-range scans (cheap clustering —
+        # the sort rides the repartition exchange's output)
         (new_data_by_bucket
             .withColumnRenamed("_bucket", "bucket")
             .repartition(max(len(touched_buckets), 1), "bucket")
+            .sortWithinPartitions("bucket", *self.key_cols)
             .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
 
         # footer reads are tiny but add up serially (64+ per commit);
