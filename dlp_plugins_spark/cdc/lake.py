@@ -50,6 +50,19 @@ class CommitConflict(RuntimeError):
     are orphans until expire_snapshots."""
 
 
+def _coalesce_ranges(ranges: list[list[int]]) -> list[list[int]]:
+    """Merge overlapping/adjacent [lo, hi] LSN ranges (sorted output)."""
+    if not ranges:
+        return []
+    out: list[list[int]] = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return out
+
+
 def key_bucket_expr(key_cols: list[str], n_buckets: int):
     """Deterministic bucket id: positive hash of the key columns.
 
@@ -341,6 +354,10 @@ class LakeTable:
             new_ranges = prev.applied_ranges + (
                 [list(lsn_range)] if 0 <= lsn_range[0] <= lsn_range[1] else []
             )
+            # coalesce adjacent/overlapping ranges: the exactly-once
+            # filter is one predicate term per range — sequential replay
+            # stays at O(1) ranges instead of one per batch forever
+            new_ranges = _coalesce_ranges(new_ranges)
             snap = Snapshot(
                 snapshot_id=commit_id,
                 schema_json=json.dumps(schema.jsonValue()),

@@ -450,3 +450,30 @@ def test_lineage_records_and_df(spark, tmp_path):
     got = {r.snapshot_id: r for r in df.collect()}
     assert got[1].batch_ids == [0] and got[2].batch_ids == [1]
     assert got[2].parent == 1
+
+
+def test_applied_ranges_coalesce_and_mor_schema_evolution(spark, tmp_path):
+    """Sequential batches collapse to ONE applied range (bounded
+    exactly-once predicate); MOR replay with a mid-stream additive
+    column matches the MOW result including null backfill."""
+    from dlp_plugins_spark.cdc.replay import spark_state_pdf, state_hash
+
+    t = _mktable(tmp_path, "coal")
+    replay(spark, t, 0, 3 * BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    assert t.current_snapshot().applied_ranges == [[0, 3 * BATCH - 1]]
+
+    kw = dict(GEN, )
+    t_mow = _mktable(tmp_path, "evo_mow")
+    t_mor = _mktable(tmp_path, "evo_mor")
+    for tbl, mode in ((t_mow, "mow"), (t_mor, "mor")):
+        replay(spark, tbl, 0, 2 * BATCH, batch_size=BATCH, gen_kwargs=kw,
+               extra_col_from_lsn=BATCH, mode=mode)
+    p_mow = spark_state_pdf(spark, t_mow)
+    p_mor = spark_state_pdf(spark, t_mor)
+    assert "lang_version" in p_mow.columns and "lang_version" in p_mor.columns
+    assert state_hash(p_mow) == state_hash(p_mor)
+    assert p_mow["lang_version"].notna().any()
+    assert (
+        p_mow.sort_values(["repo", "path"])["lang_version"].fillna("∅").tolist()
+        == p_mor.sort_values(["repo", "path"])["lang_version"].fillna("∅").tolist()
+    )
