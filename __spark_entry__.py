@@ -442,8 +442,11 @@ WITH flagged AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sess AS (
   SELECT user_id, value,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_idx
+         -- BIGINT cast: DuckDB window sum(INT) -> HUGEINT, which the
+         -- driver fetches as float64 and value-hash-mismatches Spark's
+         -- int64 despite identical values
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM flagged)
 SELECT user_id, session_idx, count(*) AS n_events,
        round(sum(value), 4) AS session_value
@@ -509,9 +512,13 @@ def q_token_stats_by_lang(spark, sf_dir):
 
 SQL_TOKEN_STATS = rf"""
 SELECT lang, count(*) AS n_docs,
-  sum(CASE WHEN trim(text) = '' THEN 0
-      ELSE len(string_split_regex(trim(text), '\s+')) END) AS sum_ws_tokens,
-  sum(len(regexp_extract_all(text, '{BPE_RE}'))) AS sum_bpe_tokens
+  -- BIGINT casts: DuckDB sum(INTEGER) -> HUGEINT (fetched as float64),
+  -- which hash-mismatches Spark's int64 despite identical values
+  CAST(sum(CASE WHEN trim(text) = '' THEN 0
+      ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+    AS sum_ws_tokens,
+  CAST(sum(len(regexp_extract_all(text, '{BPE_RE}'))) AS BIGINT)
+    AS sum_bpe_tokens
 FROM documents GROUP BY lang
 """
 
@@ -636,7 +643,9 @@ def q_finding_counts_by_lang(spark, sf_dir):
 
 SQL_FINDING_COUNTS = f"""
 SELECT lang,
-       sum(len(regexp_extract_all(text || {_PII_SUFFIX_SQL}, '{EMAIL_RE}')))
+       -- BIGINT cast: DuckDB sum(INTEGER) -> HUGEINT (float64 on fetch)
+       CAST(sum(len(regexp_extract_all(text || {_PII_SUFFIX_SQL},
+                                       '{EMAIL_RE}'))) AS BIGINT)
          AS n_email_findings,
        count(*) AS n_docs
 FROM documents GROUP BY lang

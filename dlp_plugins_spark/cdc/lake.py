@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 CURRENT_PTR = "_current"
 SNAPSHOT_DIR = "snapshots"
+MANIFEST_DIR = "manifests"
 DATA_DIR = "data"
 LINEAGE_DIR = "lineage"
 COMMIT_LOCK = "_commit.lock"
@@ -73,23 +74,36 @@ def key_bucket_expr(key_cols: list[str], n_buckets: int):
 
 @dataclass
 class Snapshot:
+    """In-memory snapshot: ``files`` is always fully materialized.
+
+    On disk a snapshot is a *manifest list* (Iceberg's design): the
+    snapshot JSON holds metadata + references to per-bucket-range
+    manifest shards, each shard listing the file entries for its bucket
+    range. A commit rewrites only the shards whose bucket range it
+    touched and carries the rest over **by reference**, so commit
+    metadata cost is ∝ touched buckets, not ∝ table files — the property
+    that keeps a 200k-file table's commit from rewriting a 20 MB blob
+    every batch. ``shard_refs`` (shard id -> relative path) records where
+    each shard came from so the next commit can reuse unchanged ones."""
+
     snapshot_id: int
     schema_json: str
-    files: list[dict]                    # {path, bucket, rows}
+    files: list[dict]                    # {path, bucket, rows[, delta]}
     applied_ranges: list[list[int]]      # [[min_lsn, max_lsn], ...]
     applied_batches: list[int]
     parent: int | None = None
     properties: dict = field(default_factory=dict)
+    shard_refs: dict = field(default_factory=dict, compare=False)
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
 
     def to_json(self) -> str:
-        return json.dumps(self.__dict__, sort_keys=True)
-
-    @classmethod
-    def from_json(cls, s: str) -> "Snapshot":
-        return cls(**json.loads(s))
+        """Inline (unsharded) snapshot JSON — the pre-sharding format,
+        still accepted by the loader. Debug/test surface; the table's
+        own commits always persist via the sharded manifest list."""
+        d = {k: v for k, v in self.__dict__.items() if k != "shard_refs"}
+        return json.dumps(d, sort_keys=True)
 
 
 class LakeTable:
@@ -134,38 +148,145 @@ class LakeTable:
         return cls(path, props["key_cols"], props["n_buckets"])
 
     # -- snapshot plumbing ----------------------------------------------------
+    #
+    # On-disk layout (manifest-list design, Iceberg-style):
+    #   snapshots/snapshot-XXXXXXXX.json   metadata + shard references
+    #   manifests/shard-K-<token>.json     file entries for bucket range K
+    # A shard covers a contiguous bucket range (n_shards ranges over
+    # n_buckets). Shards are immutable; a commit writes fresh shards only
+    # for ranges it touched and re-references the rest.
+
     def _snapshot_path(self, sid: int) -> str:
         return os.path.join(self.path, SNAPSHOT_DIR, f"snapshot-{sid:08d}.json")
 
-    def _write_snapshot(self, snap: Snapshot) -> None:
+    def _n_shards(self) -> int:
+        return max(1, min(16, self.n_buckets))
+
+    def _shard_of(self, bucket: int) -> int:
+        # contiguous bucket-range sharding
+        return bucket * self._n_shards() // self.n_buckets
+
+    def _write_snapshot(self, snap: Snapshot,
+                        dirty_shards: set[int] | None = None) -> None:
+        """Persist ``snap``: write manifest shards + manifest list + pointer.
+
+        ``dirty_shards``: shard ids whose file lists changed vs the shards
+        referenced in ``snap.shard_refs`` — only those are written; the
+        rest are carried by reference. ``None`` = write everything (create
+        / first migration)."""
+        n_shards = self._n_shards()
+        by_shard: dict[int, list[dict]] = {}
+        for fe in snap.files:
+            by_shard.setdefault(self._shard_of(fe["bucket"]), []).append(fe)
+        man_dir = os.path.join(self.path, MANIFEST_DIR)
+        os.makedirs(man_dir, exist_ok=True)
+        refs: dict[int, str] = {}
+        for k in range(n_shards):
+            entries = by_shard.get(k, [])
+            reusable = (
+                dirty_shards is not None
+                and k not in dirty_shards
+                and k in snap.shard_refs
+            )
+            if reusable:
+                refs[k] = snap.shard_refs[k]
+                continue
+            if not entries:
+                continue  # empty shard = absent from the list
+            rel = os.path.join(
+                MANIFEST_DIR, f"shard-{k:04d}-{uuid.uuid4().hex[:12]}.json")
+            tmp = os.path.join(self.path, rel + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(entries, f, sort_keys=True)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.path, rel))
+            refs[k] = rel
+        snap.shard_refs = refs
+        doc = {
+            "snapshot_id": snap.snapshot_id,
+            "schema_json": snap.schema_json,
+            "applied_ranges": snap.applied_ranges,
+            "applied_batches": snap.applied_batches,
+            "parent": snap.parent,
+            "properties": snap.properties,
+            "manifests": [
+                {"shard": k, "path": p} for k, p in sorted(refs.items())
+            ],
+        }
         spath = self._snapshot_path(snap.snapshot_id)
         tmp = spath + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            f.write(snap.to_json())
+            json.dump(doc, f, sort_keys=True)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, spath)
+        self._write_pointer(snap.snapshot_id)
+
+    def _write_pointer(self, sid: int) -> None:
         ptr_tmp = os.path.join(self.path, f"{CURRENT_PTR}.tmp.{uuid.uuid4().hex}")
         with open(ptr_tmp, "w") as f:
-            f.write(str(snap.snapshot_id))
+            f.write(str(sid))
             f.flush()
             os.fsync(f.fileno())
         os.replace(ptr_tmp, os.path.join(self.path, CURRENT_PTR))
 
     @staticmethod
+    def _load_snapshot_file(table_path: str, spath: str) -> Snapshot:
+        with open(spath) as f:
+            doc = json.load(f)
+        files: list[dict] = []
+        refs: dict[int, str] = {}
+        if "manifests" in doc:
+            for m in doc["manifests"]:
+                refs[int(m["shard"])] = m["path"]
+                with open(os.path.join(table_path, m["path"])) as mf:
+                    files.extend(json.load(mf))
+        else:  # pre-sharding snapshot JSON (inline file list)
+            files = doc.get("files", [])
+        return Snapshot(
+            snapshot_id=doc["snapshot_id"],
+            schema_json=doc["schema_json"],
+            files=files,
+            applied_ranges=doc["applied_ranges"],
+            applied_batches=doc["applied_batches"],
+            parent=doc.get("parent"),
+            properties=doc.get("properties", {}),
+            shard_refs=refs,
+        )
+
+    @staticmethod
     def _read_current(path: str) -> Snapshot:
         with open(os.path.join(path, CURRENT_PTR)) as f:
             sid = int(f.read().strip())
-        with open(os.path.join(path, SNAPSHOT_DIR, f"snapshot-{sid:08d}.json")) as f:
-            return Snapshot.from_json(f.read())
+        return LakeTable._load_snapshot_file(
+            path, os.path.join(path, SNAPSHOT_DIR, f"snapshot-{sid:08d}.json"))
 
     def current_snapshot(self) -> Snapshot:
         return self._read_current(self.path)
 
     def snapshot(self, snapshot_id: int) -> Snapshot:
         """Load a specific (not-yet-expired) snapshot — time travel."""
-        with open(self._snapshot_path(snapshot_id)) as f:
-            return Snapshot.from_json(f.read())
+        return self._load_snapshot_file(
+            self.path, self._snapshot_path(snapshot_id))
+
+    def _next_snapshot_id(self) -> int:
+        """max(existing manifest id) + 1 — NOT parent+1.
+
+        After a rollback the current snapshot is older than the newest
+        manifest on disk; parent+1 would silently overwrite that newer
+        manifest (rewriting history: time travel to its id would return
+        different data). Allocating past every existing manifest keeps
+        all ids immutable; the abandoned branch simply ages out via
+        expire_snapshots."""
+        import glob as _glob
+
+        ids = [
+            int(os.path.basename(p)[len("snapshot-"):-len(".json")])
+            for p in _glob.glob(
+                os.path.join(self.path, SNAPSHOT_DIR, "snapshot-*.json"))
+        ]
+        return max(ids, default=-1) + 1
 
     def rollback(self, snapshot_id: int) -> Snapshot:
         """Point the table back at an older snapshot (Iceberg
@@ -175,12 +296,9 @@ class LakeTable:
         applied-LSN ranges) simply stop being visible, which is exactly
         what re-applying them after a bad deploy requires."""
         snap = self.snapshot(snapshot_id)  # raises if expired/unknown
-        ptr_tmp = os.path.join(self.path, f"{CURRENT_PTR}.tmp.{uuid.uuid4().hex}")
-        with open(ptr_tmp, "w") as f:
-            f.write(str(snap.snapshot_id))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(ptr_tmp, os.path.join(self.path, CURRENT_PTR))
+        self._write_pointer(snap.snapshot_id)
+        # Post-rollback commits allocate ids past the abandoned branch's
+        # manifests (_next_snapshot_id), so history is never overwritten.
         return snap
 
     # -- read ------------------------------------------------------------------
@@ -296,14 +414,36 @@ class LakeTable:
         # rows sort by key within each bucket file: parquet row-group
         # min/max stats then prune key-range scans (cheap clustering —
         # the sort rides the repartition exchange's output)
-        (new_data_by_bucket
-            .withColumnRenamed("_bucket", "bucket")
+        #
+        # Per-bucket row counts piggyback on the write job as observed
+        # metrics (one conditional-count aggregate per touched bucket,
+        # evaluated map-side) — zero extra jobs and zero per-file driver
+        # IO on the commit path, vs. the O(files-per-commit) parquet
+        # footer reads this replaces.
+        from pyspark.sql import Observation
+
+        to_write = new_data_by_bucket.withColumnRenamed("_bucket", "bucket")
+        obs: Observation | None = None
+        if 0 < len(touched_buckets) <= 256:
+            obs = Observation()
+            to_write = to_write.observe(obs, *[
+                F.coalesce(
+                    F.sum(F.when(F.col("bucket") == b, F.lit(1))
+                          .otherwise(F.lit(0))), F.lit(0)
+                ).cast("long").alias(f"b{b}")
+                for b in touched_buckets
+            ])
+        (to_write
             .repartition(max(len(touched_buckets), 1), "bucket")
             .sortWithinPartitions("bucket", *self.key_cols)
             .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
 
-        # footer reads are tiny but add up serially (64+ per commit);
-        # a thread pool keeps the driver-side commit latency flat
+        if obs is not None:
+            observed = obs.get
+            obs_rows = {b: int(observed[f"b{b}"]) for b in touched_buckets}
+        else:
+            obs_rows = None  # >256 buckets: fall back to footer reads
+
         todo: list[tuple[int, str]] = []
         for b in touched_buckets:
             bdir = os.path.join(out_dir, f"bucket={b}")
@@ -313,17 +453,28 @@ class LakeTable:
                 if p.endswith(".parquet"):
                     todo.append((b, os.path.join(rel_dir, f"bucket={b}", p)))
 
-        def _rows(rel: str) -> int:
-            # row count from parquet footer (cheap, no Spark job)
-            return pq.ParquetFile(os.path.join(self.path, rel)).metadata.num_rows
-
-        from concurrent.futures import ThreadPoolExecutor
-
         files: list[dict] = []
         bucket_rows: dict[str, int] = {}
         if todo:
-            with ThreadPoolExecutor(max_workers=min(16, len(todo))) as ex:
-                counts = list(ex.map(_rows, [rel for _, rel in todo]))
+            per_bucket_files: dict[int, int] = {}
+            for b, _ in todo:
+                per_bucket_files[b] = per_bucket_files.get(b, 0) + 1
+            if obs_rows is not None and all(
+                    n == 1 for n in per_bucket_files.values()):
+                # normal case: hash-on-bucket repartition puts each bucket
+                # in exactly one task -> exactly one file per bucket, so
+                # the observed per-bucket count IS the file's row count
+                counts = [obs_rows[b] for b, _ in todo]
+            else:
+                # rare multi-file-per-bucket shape: footer reads (threaded)
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _rows(rel: str) -> int:
+                    return pq.ParquetFile(
+                        os.path.join(self.path, rel)).metadata.num_rows
+
+                with ThreadPoolExecutor(max_workers=min(16, len(todo))) as ex:
+                    counts = list(ex.map(_rows, [rel for _, rel in todo]))
             for (b, rel), nrows_f in zip(todo, counts):
                 entry = {"path": rel, "bucket": b, "rows": nrows_f}
                 if delta:
@@ -345,7 +496,7 @@ class LakeTable:
                     f"table advanced to snapshot {prev.snapshot_id}, merge "
                     f"was computed against {expected_parent}"
                 )
-            commit_id = prev.snapshot_id + 1
+            commit_id = self._next_snapshot_id()
             if delta:
                 kept = list(prev.files)  # append-only: nothing is replaced
             else:
@@ -367,8 +518,14 @@ class LakeTable:
                     set(prev.applied_batches) | set(batch_ids)),
                 parent=prev.snapshot_id,
                 properties=prev.properties,
+                shard_refs=dict(prev.shard_refs),
             )
-            self._write_snapshot(snap)
+            # only shards whose bucket range this commit touched get
+            # rewritten; the rest carry over by reference
+            self._write_snapshot(
+                snap,
+                dirty_shards={self._shard_of(b) for b in touched_buckets},
+            )
             lineage = {
                 "snapshot_id": commit_id,
                 "parent": prev.snapshot_id,
@@ -449,56 +606,91 @@ class LakeTable:
             expected_parent=snap.snapshot_id,
         )
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(self, keep_last: int = 2,
+                         orphan_grace_sec: float = 0.0) -> dict:
         """Delete snapshot manifests older than the newest ``keep_last``
-        and any data files no live snapshot references (Iceberg
+        plus any data/manifest files no live snapshot references (Iceberg
         expire_snapshots + remove_orphan_files parity). The current
         pointer is never touched; crash mid-expiry leaves only extra
-        files, never a broken table."""
-        import glob as _glob
+        files, never a broken table.
 
-        current = self.current_snapshot()
-        snaps = sorted(
-            _glob.glob(os.path.join(self.path, SNAPSHOT_DIR, "snapshot-*.json"))
-        )
-        keep_paths = set(snaps[-max(keep_last, 1):])
-        keep_paths.add(self._snapshot_path(current.snapshot_id))
-        live_files: set[str] = set()
-        for sp in keep_paths:
-            with open(sp) as f:
-                live_files |= {
-                    fe["path"] for fe in Snapshot.from_json(f.read()).files
-                }
-        removed_snaps = 0
-        for sp in snaps:
-            if sp not in keep_paths:
-                os.remove(sp)
-                removed_snaps += 1
-        removed_data = 0
-        data_root = os.path.join(self.path, DATA_DIR)
-        for p in _glob.glob(os.path.join(data_root, "**", "*.parquet"),
-                            recursive=True):
-            rel = os.path.relpath(p, self.path)
-            if rel not in live_files:
-                os.remove(p)
-                removed_data += 1
-        # drop now-empty commit/delta dirs
-        for d in sorted(
-            _glob.glob(os.path.join(data_root, "commit-*"))
-            + _glob.glob(os.path.join(data_root, "delta-*")),
-            reverse=True,
-        ):
-            for sub in sorted(_glob.glob(os.path.join(d, "bucket=*")),
-                              reverse=True):
-                if not os.listdir(sub):
-                    os.rmdir(sub)
-            if not any(
-                files for _, _, files in os.walk(d)
+        Runs under the commit lock so no manifest swap interleaves with
+        the live-set computation. That alone does not protect a
+        concurrent writer's in-flight DATA files — commit_merge writes
+        data before entering its locked section, so those files look like
+        orphans. ``orphan_grace_sec`` is the guard (Iceberg's
+        remove_orphan_files ``older_than``): only files whose mtime is at
+        least this old are deleted. Single-writer deployments (the replay
+        driver) can leave it 0; multi-writer deployments must set it
+        above the longest merge's write duration."""
+        import fcntl
+        import glob as _glob
+        import time as _time
+
+        lock_path = os.path.join(self.path, COMMIT_LOCK)
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            current = self.current_snapshot()
+            snaps = sorted(
+                _glob.glob(
+                    os.path.join(self.path, SNAPSHOT_DIR, "snapshot-*.json"))
+            )
+            keep_paths = set(snaps[-max(keep_last, 1):])
+            keep_paths.add(self._snapshot_path(current.snapshot_id))
+            live_files: set[str] = set()
+            live_shards: set[str] = set()
+            for sp in keep_paths:
+                ksnap = self._load_snapshot_file(self.path, sp)
+                live_files |= {fe["path"] for fe in ksnap.files}
+                live_shards |= set(ksnap.shard_refs.values())
+            removed_snaps = 0
+            for sp in snaps:
+                if sp not in keep_paths:
+                    os.remove(sp)
+                    removed_snaps += 1
+            now = _time.time()
+
+            def _old_enough(p: str) -> bool:
+                if orphan_grace_sec <= 0:
+                    return True
+                try:
+                    return now - os.path.getmtime(p) >= orphan_grace_sec
+                except OSError:
+                    return False  # vanished underneath us: leave it alone
+
+            removed_data = 0
+            data_root = os.path.join(self.path, DATA_DIR)
+            for p in _glob.glob(os.path.join(data_root, "**", "*.parquet"),
+                                recursive=True):
+                rel = os.path.relpath(p, self.path)
+                if rel not in live_files and _old_enough(p):
+                    os.remove(p)
+                    removed_data += 1
+            removed_shards = 0
+            for p in _glob.glob(
+                    os.path.join(self.path, MANIFEST_DIR, "shard-*.json")):
+                rel = os.path.relpath(p, self.path)
+                if rel not in live_shards and _old_enough(p):
+                    os.remove(p)
+                    removed_shards += 1
+            # drop now-empty commit/delta dirs
+            for d in sorted(
+                _glob.glob(os.path.join(data_root, "commit-*"))
+                + _glob.glob(os.path.join(data_root, "delta-*")),
+                reverse=True,
             ):
-                import shutil as _shutil
-                _shutil.rmtree(d, ignore_errors=True)
+                for sub in sorted(_glob.glob(os.path.join(d, "bucket=*")),
+                                  reverse=True):
+                    if not os.listdir(sub):
+                        os.rmdir(sub)
+                if not any(
+                    files for _, _, files in os.walk(d)
+                ):
+                    import shutil as _shutil
+                    _shutil.rmtree(d, ignore_errors=True)
         return {"removed_snapshots": removed_snaps,
-                "removed_data_files": removed_data}
+                "removed_data_files": removed_data,
+                "removed_manifest_shards": removed_shards}
 
     # -- exactly-once helpers ---------------------------------------------------
     def applied_filter(self, snap: Snapshot | None = None):

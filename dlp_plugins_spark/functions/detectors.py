@@ -57,8 +57,16 @@ class InfoType:
 
     @property
     def regex(self) -> re.Pattern:
+        # Compiled with re.ASCII so \d/\w/\b/\s mean exactly what they mean
+        # in the RE2 prescan (RE2 character classes are ASCII-only).
+        # Without this, a row whose only finding uses non-ASCII digits
+        # (e.g. Arabic-Indic '١٢٣-٤٥-٦٧٨٩') would match the exact pass but
+        # be dropped by the prescan — a silent DLP false negative. ASCII
+        # semantics on both sides keeps the prescan a true superset.
         if not self._compiled:
-            self._compiled.append(re.compile(self.pattern, self.flags))
+            self._compiled.append(
+                re.compile(self.pattern, self.flags | re.ASCII)
+            )
         return self._compiled[0]
 
     def findall(self, text: str) -> list[tuple[int, int]]:
@@ -388,7 +396,8 @@ class Prescan:
 
     def __init__(self, names: list[str]):
         self._re2_pattern = prefilter_union(names)
-        self._py_union = re.compile(union_pattern(names))
+        # re.ASCII: identical \d/\w/\b semantics to RE2 (see InfoType.regex)
+        self._py_union = re.compile(union_pattern(names), re.ASCII)
         self._use_re2 = True
 
     def __call__(self, values):  # pd.Series[str] -> pd.Series[bool]

@@ -84,7 +84,8 @@ def _match_regex(info_types: list) -> re.Pattern:
     for it in resolve_detectors(info_types):
         grp = "?i:" if it.flags & re.IGNORECASE else "?:"
         pats.append(f"({grp}{it.pattern})")
-    return re.compile("|".join(pats))
+    # re.ASCII for prescan parity (see detectors.InfoType.regex)
+    return re.compile("|".join(pats), re.ASCII)
 
 
 def _compiled(info_types: list[str]):
@@ -176,13 +177,17 @@ def masking(
                 pre,
             )
     elif number_to_mask <= 0:
-        # whole-value, unbounded: vectorized str.translate
-        keep = {ord(c): c for c in ignore}
+        # whole-value, unbounded: one vectorized regex replace — mask every
+        # char NOT in the ignore set. This is the hot kernel at scale
+        # (content-sized strings), so no per-character Python.
+        if ignore:
+            cls = "[^" + "".join(re.escape(c) for c in sorted(ignore)) + "]"
+        else:
+            cls = r"(?s)."
+        repl = masking_char.replace("\\", "\\\\")
 
         def fn(values: pd.Series, _ctx=None) -> pd.Series:
-            def tr(v: str) -> str:
-                return "".join(keep.get(ord(c), masking_char) for c in v)
-            return values.map(tr, na_action="ignore")
+            return values.str.replace(cls, repl, regex=True)
     else:
         def fn(values: pd.Series, _ctx=None) -> pd.Series:
             return values.map(

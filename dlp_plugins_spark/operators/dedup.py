@@ -195,11 +195,18 @@ def char_ngram_set(df: DataFrame, text_col: str, n: int = 3,
         c for c in df.columns if c != text_col
     ]
     low = df.select(*keep, F.lower(F.col(text_col)).alias("_t"))
-    idx = F.sequence(
-        F.lit(1), F.greatest(F.length("_t") - F.lit(n - 1), F.lit(0))
-    )
+    idx = F.sequence(F.lit(1), F.length("_t") - F.lit(n - 1))
     grams = F.transform(idx, lambda i: F.substring(F.col("_t"), i, n))
-    return low.select(*keep, F.array_distinct(grams).alias(out))
+    # Texts shorter than n have no grams. Without the guard,
+    # sequence(1, 0) expands DESCENDING to [1, 0] and emits a phantom
+    # partial gram ('ab' -> {'ab'}, '' -> {''}) — two short texts would
+    # then score jaccard 1.0 and diverge from the SQL oracle.
+    return low.select(
+        *keep,
+        F.when(F.length("_t") < n, F.array().cast("array<string>"))
+        .otherwise(F.array_distinct(grams))
+        .alias(out),
+    )
 
 
 def char_ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,

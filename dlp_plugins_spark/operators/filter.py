@@ -58,7 +58,8 @@ def sensitivity_predicate(filters: list[str],
         detectors = resolve_detectors(expand_groups(filters))
     if not detectors:
         raise ValueError("entire filter list expands to no infoTypes")
-    union = re.compile(union_pattern(detectors))
+    # re.ASCII for prescan parity (see detectors.InfoType.regex)
+    union = re.compile(union_pattern(detectors), re.ASCII)
     prescan = Prescan(detectors)
     # prescan is a superset (RE2-safe, no lookarounds): rows it flags
     # still need the exact union pass when any detector uses lookarounds
@@ -149,16 +150,20 @@ def split_sensitive(
         F.octet_length(target) > F.lit(max_bytes), F.lit(False)
     )
     if on_error == "stop":
-        @F.pandas_udf("boolean")
-        def fail_oversize(s: pd.Series) -> pd.Series:
-            if bool(s.any()):
-                raise ValueError(
-                    f"inspected payload exceeds {max_bytes} bytes "
-                    "(on_error=stop)"
-                )
-            return s
-
-        flagged = df.withColumn("_over", fail_oversize(oversize))
+        # JVM-side assert: no Python stage in the stop-mode path.
+        # assert_true returns NULL when the condition holds and raises
+        # otherwise; coalesce folds the NULL back to False.
+        flagged = df.withColumn(
+            "_over",
+            F.coalesce(
+                F.assert_true(
+                    ~oversize,
+                    F.lit(f"inspected payload exceeds {max_bytes} bytes "
+                          "(on_error=stop)"),
+                ).cast("boolean"),
+                F.lit(False),
+            ),
+        )
     else:
         flagged = df.withColumn("_over", oversize)
     flagged = flagged.withColumn(
@@ -180,18 +185,27 @@ def count_findings(df: DataFrame, field: str, filters: list[str],
     reference's dlp.requests.* counters (SensitiveRecordRedaction.java:178-189),
     but per finding rather than per RPC."""
     if template is not None:
-        pats = {it.name: it for it in compile_template(template)}
+        dets = compile_template(template)
     else:
-        pats = {it.name: it
-                for it in resolve_detectors(expand_groups(filters))}
+        dets = resolve_detectors(expand_groups(filters))
+    pats = {it.name: it for it in dets}
+    prescan = Prescan(dets)
 
     @F.pandas_udf("map<string,int>")
     def findings(s: pd.Series) -> pd.Series:
+        # RE2 prescan gate: rows with no candidate hit emit {} without
+        # touching Python regex — cost scales with the finding rate, not
+        # the corpus size (same pattern as the transform kernels).
+        hit = prescan(s)
+        out = pd.Series([{}] * len(s), index=s.index, dtype=object)
+
         def per(text):
-            if text is None:
-                return {}
             counts = {n: len(it.findall(text)) for n, it in pats.items()}
             return {n: c for n, c in counts.items() if c}
-        return s.map(per)
+
+        sel = hit & s.notna()
+        if sel.any():
+            out[sel] = s[sel].map(per)
+        return out
 
     return df.withColumn("_findings", findings(F.col(field).cast("string")))

@@ -94,15 +94,18 @@ def range_join_buckets(
     span/granularity), points map to one bucket, the join key is
     (bucket[, on...]), and a residual filter restores exactness."""
     on = on or []
+    # floor, not truncate-toward-zero: negative values must map to the
+    # bucket below (e.g. -5/10 -> -1, not 0) or the equi-join silently
+    # misses candidates. hi-1 assumes an integer point domain.
     p = points.withColumn(
-        "_bkt", (F.col(point_col) / granularity).cast("long")
+        "_bkt", F.floor(F.col(point_col) / granularity).cast("long")
     )
     iv = intervals.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                (F.col(lo_col) / granularity).cast("long"),
-                ((F.col(hi_col) - 1) / granularity).cast("long"),
+                F.floor(F.col(lo_col) / granularity).cast("long"),
+                F.floor((F.col(hi_col) - 1) / granularity).cast("long"),
             )
         ),
     )

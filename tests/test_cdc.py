@@ -477,3 +477,121 @@ def test_applied_ranges_coalesce_and_mor_schema_evolution(spark, tmp_path):
         p_mow.sort_values(["repo", "path"])["lang_version"].fillna("∅").tolist()
         == p_mor.sort_values(["repo", "path"])["lang_version"].fillna("∅").tolist()
     )
+
+
+def test_rollback_never_rewrites_history(spark, tmp_path):
+    """A commit after rollback must allocate a snapshot id PAST the
+    abandoned branch's manifests (never parent+1): overwriting an
+    existing manifest would rewrite history — time travel to that id
+    would silently return different data."""
+    import json
+    import os
+
+    table = _mktable(tmp_path, "rbhist")
+    replay(spark, table, 0, BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    sid1 = table.current_snapshot().snapshot_id
+    replay(spark, table, BATCH, 2 * BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    sid2 = table.current_snapshot().snapshot_id
+    before = json.dumps(table.snapshot(sid2).files, sort_keys=True)
+
+    table.rollback(sid1)
+    m = replay(spark, table, BATCH, 2 * BATCH, batch_size=BATCH,
+               gen_kwargs=GEN)
+    assert m.batches == 1
+    sid3 = table.current_snapshot().snapshot_id
+    # new id strictly past ALL existing manifests, and the abandoned
+    # branch's manifest is byte-for-byte untouched
+    assert sid3 > sid2
+    assert json.dumps(table.snapshot(sid2).files, sort_keys=True) == before
+    # both branches stay time-travelable until expiry
+    ids = sorted(
+        int(os.path.basename(p)[len("snapshot-"):-len(".json")])
+        for p in __import__("glob").glob(
+            os.path.join(table.path, "snapshots", "snapshot-*.json"))
+    )
+    assert len(ids) == len(set(ids)) and sid3 in ids and sid2 in ids
+
+
+def test_manifest_sharding_commit_cost_proportional(spark, tmp_path):
+    """Commit metadata cost must be ∝ touched buckets, not table files:
+    against a snapshot with 10^4 synthetic file entries, a 1-bucket
+    commit may write only the manifest shard covering that bucket
+    (VERDICT r01 #3 done-criterion: assert on bytes rewritten)."""
+    import glob
+    import json
+    import os
+
+    import pyspark.sql.types as T
+
+    from dlp_plugins_spark.cdc.lake import Snapshot
+
+    schema = _payload_schema()
+    schema = T.StructType(
+        schema.fields + [T.StructField("_lsn", T.LongType(), False)])
+    table = LakeTable.create(str(tmp_path / "shardy"), schema.fields and
+                             _payload_schema(), B.TABLE_KEY, n_buckets=64)
+    base = table.current_snapshot()
+    n_entries = 10_000
+    synthetic = [
+        {"path": f"data/commit-synthetic/bucket={i % 64}/part-{i:05d}.parquet",
+         "bucket": i % 64, "rows": 10}
+        for i in range(n_entries)
+    ]
+    snap = Snapshot(
+        snapshot_id=base.snapshot_id + 1, schema_json=base.schema_json,
+        files=synthetic, applied_ranges=[[0, 0]], applied_batches=[0],
+        parent=base.snapshot_id, properties=base.properties,
+    )
+    table._write_snapshot(snap)  # writes all 16 shards
+
+    man_dir = os.path.join(table.path, "manifests")
+    shards_before = set(glob.glob(os.path.join(man_dir, "shard-*.json")))
+    total_bytes = sum(os.path.getsize(p) for p in shards_before)
+
+    one_row = spark.createDataFrame(
+        [("r0", "p0", "c0", "py", "x", 1, 0)],
+        schema=T.StructType(table.current_snapshot().schema().fields
+                            + [T.StructField("_bucket", T.IntegerType())]),
+    )
+    new_snap = table.commit_merge(
+        one_row, touched_buckets=[0], lsn_range=(1, 1), batch_ids=[1],
+        schema=table.current_snapshot().schema(),
+        expected_parent=snap.snapshot_id,
+    )
+    shards_after = set(glob.glob(os.path.join(man_dir, "shard-*.json")))
+    new_shards = shards_after - shards_before
+    new_bytes = sum(os.path.getsize(p) for p in new_shards)
+    # exactly one shard (bucket range containing bucket 0) was rewritten,
+    # and its bytes are ~1/16 of the table's manifest footprint
+    assert len(new_shards) == 1
+    assert new_bytes < total_bytes / 8
+    # untouched shards carried by reference; MOW replaced bucket 0's old
+    # entries with the one new file, everything else intact
+    n_bucket0 = sum(1 for e in synthetic if e["bucket"] == 0)
+    assert len(new_snap.files) == n_entries - n_bucket0 + 1
+    reread = table.snapshot(new_snap.snapshot_id)
+    assert {f["path"] for f in reread.files} == {
+        f["path"] for f in new_snap.files}
+
+
+def test_expire_orphan_grace_period(spark, tmp_path):
+    """expire_snapshots with a grace period must NOT delete young orphan
+    data files (a concurrent writer's in-flight files look like orphans
+    — commit_merge writes data before taking the commit lock)."""
+    import os
+
+    table = _mktable(tmp_path, "grace")
+    replay(spark, table, 0, 2 * BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    orphan_dir = os.path.join(table.path, "data", "commit-inflight", "bucket=0")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-infl.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"in-flight writer data")
+    res = table.expire_snapshots(keep_last=1, orphan_grace_sec=3600)
+    assert os.path.exists(orphan), "young orphan must survive the grace period"
+    # aged out (mtime pushed into the past) -> removed
+    old = os.path.getmtime(orphan) - 7200
+    os.utime(orphan, (old, old))
+    res = table.expire_snapshots(keep_last=1, orphan_grace_sec=3600)
+    assert not os.path.exists(orphan)
+    assert res["removed_data_files"] >= 1

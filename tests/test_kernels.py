@@ -56,6 +56,30 @@ def test_detector_negatives():
     assert not detectors.has_findings("000-12-1234", ["US_SOCIAL_SECURITY_NUMBER"])
 
 
+def test_prescan_exact_parity_non_ascii_digits():
+    """RE2 prescan and exact Python pass must agree on rows whose digits
+    are non-ASCII: both compiled ASCII-only, so an Arabic-Indic or
+    full-width "SSN" is (consistently) not a finding on either side —
+    no silent prescan drop of an exact-pass match."""
+    rows = [
+        "ssn ١٢٣-٤٥-٦٧٨٩",  # ١٢٣-٤٥-٦٧٨٩
+        "ssn １２３-４５-６７８９",  # full-width
+        "ssn 532-12-1234",  # ASCII control: a real finding
+        "nothing here",
+    ]
+    names = ["US_SOCIAL_SECURITY_NUMBER"]
+    s = pd.Series(rows)
+    pre = detectors.Prescan(names)(s)
+    exact = s.map(lambda t: detectors.has_findings(t, names))
+    # parity: exact findings are a subset of prescan hits (superset rule)
+    assert not (exact & ~pre).any(), "prescan dropped an exact-pass finding"
+    assert list(exact) == [False, False, True, False]
+    # and the python-fallback path agrees with RE2
+    p2 = detectors.Prescan(names)
+    p2._use_re2 = False
+    assert list(p2(s)) == list(pre)
+
+
 def test_group_expansion_mirrors_reference():
     # ref SensitiveDataMapping.java:153-166 + empty INSURANCE group
     assert detectors.expand_groups(["INSURANCE"]) == []
