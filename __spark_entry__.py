@@ -199,6 +199,34 @@ SELECT event_id, ts + INTERVAL '{SHIFT_DAYS} days' AS ts_shifted FROM events
 """
 
 
+def q_date_shift_epoch_days(spark, sf_dir):
+    """DATE_SHIFT on an int/long PHYSICAL type (ref
+    DateShiftTransformationConfig.java:36 supports INT/LONG): the ts
+    column as bigint epoch-days, shifted in the column's own unit via
+    the `epochUnit` property."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("bigint").alias("epoch_day"),
+    )
+    out = apply_transforms(ev, [{
+        "transform": "DATE_SHIFT", "fields": "epoch_day", "filters": "NONE",
+        "transformProperties": {"keyType": "TRANSIENT", "name": "entry-shift",
+                                "lowerBoundDays": 30, "upperBoundDays": 400,
+                                "epochUnit": "days"},
+    }])
+    return out.select("event_id", F.col("epoch_day").alias("epoch_day_shifted"))
+
+
+SQL_DATE_SHIFT_EPOCH = f"""
+SELECT event_id,
+       CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+            + {SHIFT_DAYS} AS BIGINT) AS epoch_day_shifted
+FROM events
+"""
+
+
 def q_lww_latest_event_per_user(spark, sf_dir):
     ev = _read(spark, sf_dir, "events").withColumn("lsn", F.col("event_id"))
     latest = lww_dedup(ev, ["user_id"])
@@ -892,24 +920,87 @@ WHERE rn = 1
 
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via SRP bucket collisions +
-    exact verify (approximate recall — rows-only; the exact pair query
-    top_similar_pairs is the oracle-checked baseline)."""
+    exact cosine verify, made ATTESTABLE by planting near-duplicates:
+    the corpus's 10 lowest vec_ids re-enter with id+1,000,000 and a
+    small deterministic elementwise perturbation (IEEE-exact ops only —
+    mul/floor/add — so Spark and DuckDB compute bit-identical vectors).
+    The corpus's own max cosine is far below the 0.9 threshold, the
+    planted pairs sit at ~0.9997 where the seeded-hyperplane collision
+    probability is ~1-4e-8, so the LSH pipeline must return exactly the
+    pairs the all-pairs SQL oracle lists."""
     emb = _read(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup(emb, dim=64, threshold=0.6, bits=8,
-                                n_tables=6).select(
-        "a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+
+    def perturb(x):
+        v = x * F.lit(7919.0)
+        return x + F.lit(0.01) * (v - F.floor(v) - F.lit(0.5))
+
+    planted = base.orderBy("vec_id").limit(10).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(F.col("embedding"), perturb).alias("embedding"),
+    )
+    allv = base.unionByName(planted)
+    return (
+        S.embedding_near_dup(allv, dim=64, threshold=0.9, bits=8, n_tables=6)
+        .orderBy("a_id", "b_id")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+seeds AS (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 10),
+planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(
+           v, x -> x + 0.01 * (x * 7919.0 - floor(x * 7919.0) - 0.5)) AS v
+  FROM seeds),
+allv AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM planted),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+SELECT a_id, b_id, cosine FROM pairs WHERE cosine >= 0.9 ORDER BY a_id, b_id
+"""
 
 
 def q_crypto_hash_langs(spark, sf_dir):
-    """CRYPTO_HASH (HMAC-SHA-256, fixed engine key) of a whole field —
-    no HMAC in DuckDB, rows-only; kernel correctness vs python hmac is
-    tests/test_kernels.py."""
+    """CRYPTO_HASH (HMAC-SHA-256, fixed engine key) invariants, made
+    SQL-attestable: DuckDB has no HMAC, but it can check shape and
+    determinism — every digest is 64-char lowercase hex, the hash is a
+    pure function of the input (distinct digests == distinct langs; two
+    independent evaluations agree row-for-row). Kernel-vs-python-hmac
+    equality is tests/test_kernels.py."""
     docs = _read(spark, sf_dir, "documents")
-    out = apply_transforms(docs, [{
+    spec = [{
         "transform": "CRYPTO_HASH", "fields": "lang", "filters": "NONE",
         "transformProperties": {"keyType": "TRANSIENT", "name": "entry-hash"},
-    }])
-    return out.select("doc_id", F.col("lang").alias("lang_hmac"))
+    }]
+    h1 = apply_transforms(docs, spec).select(
+        "doc_id", F.col("lang").alias("h1"))
+    h2 = apply_transforms(docs, spec).select(
+        "doc_id", F.col("lang").alias("h2"))
+    both = h1.join(h2, "doc_id")
+    return both.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("h1").cast("long").alias("n_distinct_hashes"),
+        F.sum(F.col("h1").rlike("^[0-9a-f]{64}$").cast("long"))
+        .alias("n_hex_ok"),
+        F.sum((F.col("h1") == F.col("h2")).cast("long")).alias("n_stable"),
+    )
+
+
+SQL_CRYPTO_HASH_INVARIANTS = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct_hashes,
+       CAST(count(*) AS BIGINT) AS n_hex_ok,
+       CAST(count(*) AS BIGINT) AS n_stable
+FROM documents
+"""
 
 
 def q_fpe_roundtrip(spark, sf_dir):
@@ -936,10 +1027,25 @@ def q_fpe_roundtrip(spark, sf_dir):
     dec = apply_decrypt(
         enc.withColumn("uid", F.col("uid_enc")), spec
     ).withColumnRenamed("uid", "uid_dec")
-    return dec.select(
-        F.col("uid_orig"), "uid_enc", "uid_dec",
-        (F.col("uid_dec") == F.col("uid_orig")).alias("ok"),
+    # aggregate invariants so the round-trip is ORACLE-attestable: every
+    # distinct uid must tokenize (surrogate prefix) and decrypt back
+    return dec.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("uid_enc").startswith("UID_TOKEN(").cast("long"))
+        .alias("n_tokenized"),
+        F.sum((F.col("uid_dec") == F.col("uid_orig")).cast("long"))
+        .alias("n_ok"),
     )
+
+
+SQL_FPE_ROUNDTRIP = """
+WITH uids AS (
+  SELECT DISTINCT lpad(CAST(user_id AS VARCHAR), 8, '0') AS uid FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_tokenized,
+       CAST(count(*) AS BIGINT) AS n_ok
+FROM uids
+"""
 
 
 def q_det_encrypt_roundtrip(spark, sf_dir):
@@ -961,10 +1067,23 @@ def q_det_encrypt_roundtrip(spark, sf_dir):
         enc.withColumn("source", F.col("src_enc")), spec
     ).withColumnRenamed("source", "src_dec")
     joined = dec.join(_read(spark, sf_dir, "documents"), "doc_id")
-    return joined.select(
-        "doc_id", "src_enc",
-        (F.col("src_dec") == F.col("source")).alias("ok"),
+    # aggregate invariants -> DuckDB-count oracle (every row must
+    # surrogate-tokenize and decrypt back to the original)
+    return joined.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("src_enc").startswith("SRC_TOKEN(").cast("long"))
+        .alias("n_tokenized"),
+        F.sum((F.col("src_dec") == F.col("source")).cast("long"))
+        .alias("n_ok"),
     )
+
+
+SQL_DET_ROUNDTRIP = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_tokenized,
+       CAST(count(*) AS BIGINT) AS n_ok
+FROM documents
+"""
 
 
 def q_date_shift_context(spark, sf_dir):
@@ -1111,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_sensitive_by_lang": q_split_sensitive_by_lang,
         "content_sha256": q_content_sha256,
         "date_shift_events": q_date_shift_events,
+        "date_shift_epoch_days": q_date_shift_epoch_days,
         # CDC / relational engine ops (SURVEY.md §2.6)
         "lww_latest_event_per_user": q_lww_latest_event_per_user,
         "cdc_final_state_users": q_cdc_final_state_users,
@@ -1143,7 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_ngram_jaccard": q_char_ngram_jaccard,
         "brute_force_topk": q_brute_force_topk,
         "top_similar_pairs": q_top_similar_pairs,
-        # rows-only (approximate / engine-native)
+        # oracle-attested via planted near-dups / aggregate invariants
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "simhash_docs": q_simhash_docs,
@@ -1198,4 +1318,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": SQL_SESSIONIZE,
         "value_percentiles_by_type": SQL_VALUE_PERCENTILES,
         "char_ngram_jaccard": SQL_CHAR_NGRAM_JACCARD,
+        "date_shift_epoch_days": SQL_DATE_SHIFT_EPOCH,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "crypto_hash_langs": SQL_CRYPTO_HASH_INVARIANTS,
+        "fpe_roundtrip": SQL_FPE_ROUNDTRIP,
+        "det_encrypt_roundtrip": SQL_DET_ROUNDTRIP,
     }

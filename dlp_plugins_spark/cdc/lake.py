@@ -578,18 +578,37 @@ class LakeTable:
 
     # -- maintenance -------------------------------------------------------------
     def compact(self, spark: SparkSession,
-                max_files_per_bucket: int = 1) -> Snapshot:
-        """Rewrite buckets whose file count exceeds the threshold into one
-        file each (Iceberg rewrite_data_files parity). Merge-on-write
-        already yields one file per touched bucket per commit, but
-        snapshots after partial-bucket commits can accumulate; compaction
-        restores the one-file-per-bucket invariant without changing
-        data — the commit records an empty LSN range."""
+                max_files_per_bucket: int | None = 1,
+                max_deltas_per_bucket: int | None = None) -> Snapshot:
+        """Rewrite crowded buckets into one file each (Iceberg
+        rewrite_data_files parity). Two independent triggers:
+
+        - ``max_files_per_bucket``: total files (base + delta) per
+          bucket — the general invariant-restoring pass;
+        - ``max_deltas_per_bucket``: DELTA files per bucket — the
+          merge-on-read maintenance signal. A hot bucket taking every
+          batch's deltas gets folded when it crosses K, while cold
+          buckets (few/no deltas) are never rewritten — compaction IO
+          tracks where deltas actually land, not a global cadence.
+
+        Pass ``None`` to disable a trigger. The commit records an empty
+        LSN range (no new data applied)."""
         snap = self.current_snapshot()
         by_bucket: dict[int, int] = {}
+        deltas_by_bucket: dict[int, int] = {}
         for f in snap.files:
             by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
-        crowded = [b for b, n in by_bucket.items() if n > max_files_per_bucket]
+            if f.get("delta"):
+                deltas_by_bucket[f["bucket"]] = \
+                    deltas_by_bucket.get(f["bucket"], 0) + 1
+        crowded_set: set[int] = set()
+        if max_files_per_bucket is not None:
+            crowded_set |= {b for b, n in by_bucket.items()
+                            if n > max_files_per_bucket}
+        if max_deltas_per_bucket is not None:
+            crowded_set |= {b for b, n in deltas_by_bucket.items()
+                            if n > max_deltas_per_bucket}
+        crowded = sorted(crowded_set)
         if not crowded:
             return snap
         data = self.read(spark, buckets=crowded, snapshot=snap).withColumn(

@@ -75,6 +75,7 @@ def merge_batch(
     salted: bool = False,
     transform=None,
     mode: str = "mow",
+    lineage_extra: dict | None = None,
 ) -> MergeStats | None:
     """Apply one micro-batch to the lake table, committing a snapshot.
 
@@ -196,7 +197,7 @@ def merge_batch(
             batch_ids=batch_ids,
             schema=evolved_schema,
             lineage_extra={"op_counts": op_counts, "batch_rows": n_batch,
-                           "mode": "mor"},
+                           "mode": "mor", **(lineage_extra or {})},
             delta=True,
             expected_parent=snap.snapshot_id,
         )
@@ -232,7 +233,8 @@ def merge_batch(
         lsn_range=(int(lo), int(hi)),
         batch_ids=batch_ids,
         schema=evolved_schema,
-        lineage_extra={"op_counts": op_counts, "batch_rows": n_batch},
+        lineage_extra={"op_counts": op_counts, "batch_rows": n_batch,
+                       **(lineage_extra or {})},
         expected_parent=snap.snapshot_id,
     )
     return MergeStats(

@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from dlp_plugins_spark.cdc import binlog as B
 from dlp_plugins_spark.cdc.lake import LakeTable
@@ -75,6 +75,8 @@ def replay(
     events_df: DataFrame | None = None,
     mode: str = "mow",
     compact_every: int | None = None,
+    compact_deltas_per_bucket: int | None = None,
+    stage_metrics: bool = False,
 ) -> ReplayMetrics:
     """Replay binlog range [lo_lsn, hi_lsn) into ``table``.
 
@@ -82,12 +84,23 @@ def replay(
     (used by duplicate-batch tests). Batch boundaries follow batch_id.
 
     ``compact_every``: in merge-on-read mode, fold deltas into base
-    files after every N applied batches (the maintenance cadence that
-    keeps read-time resolution bounded)."""
+    files after every N applied batches (batch-count cadence).
+    ``compact_deltas_per_bucket``: fold only buckets whose DELTA file
+    count exceeds K — maintenance IO follows where deltas actually land
+    (hot buckets fold, cold buckets are never rewritten).
+
+    ``stage_metrics``: attach accumulator-backed apply-stage counters
+    (rows in / transformed / errored — the reference's dlp.requests.*
+    analogue) to each per-batch metrics entry."""
+    from dlp_plugins_spark.operators.redaction import StageCounters
+
     spec = transform_spec if transform_spec is not None else DEFAULT_TRANSFORM_SPEC
     gen_kwargs = dict(gen_kwargs or {})
     gen_kwargs["batch_size"] = batch_size
     metrics = ReplayMetrics()
+    # per-field transform lineage, attached to every commit's lineage
+    # record (ref FieldTransformOperation, Utils.java:337-396)
+    plan = TransformPlan.parse(spec) if spec else None
     t0 = time.monotonic()
     for lo in range(lo_lsn, hi_lsn, batch_size):
         hi = min(lo + batch_size, hi_lsn)
@@ -107,9 +120,20 @@ def replay(
         # DLP apply stage (vectorized; schema-preserving) runs INSIDE the
         # merge job on fresh rows only — after the exactly-once filter,
         # pipelined with the merge shuffle (no persist barrier).
-        tf = (lambda df: apply_transforms(df, spec)) if spec else None
+        counters = StageCounters(spark) if (stage_metrics and spec) else None
+        tf = (lambda df: apply_transforms(df, spec, counters=counters)) \
+            if spec else None
+        lineage_extra = None
+        if plan is not None:
+            payload_schema = T.StructType([
+                f for f in batch.schema.fields
+                if f.name not in ("op", "lsn", "batch_id")
+            ])
+            lineage_extra = {
+                "field_operations": plan.field_operations(payload_schema)}
         stats = merge_batch(table, batch, batch_ids=[bid], salted=salted,
-                            transform=tf, mode=mode)
+                            transform=tf, mode=mode,
+                            lineage_extra=lineage_extra)
         dt = time.monotonic() - t_b
         if stats is None:
             metrics.skipped_batches += 1
@@ -119,11 +143,17 @@ def replay(
             metrics.events += stats.batch_rows
             if compact_every and metrics.batches % compact_every == 0:
                 table.compact(spark, max_files_per_bucket=1)
-            metrics.per_batch.append({
+            if compact_deltas_per_bucket is not None:
+                table.compact(spark, max_files_per_bucket=None,
+                              max_deltas_per_bucket=compact_deltas_per_bucket)
+            entry = {
                 "batch_id": bid, "rows": stats.batch_rows,
                 "buckets": stats.touched_buckets, "sec": round(dt, 3),
                 "ops": stats.op_counts,
-            })
+            }
+            if counters is not None:
+                entry["stage"] = counters.snapshot()
+            metrics.per_batch.append(entry)
     metrics.wall_sec = time.monotonic() - t0
     return metrics
 

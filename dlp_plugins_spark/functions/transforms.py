@@ -248,17 +248,35 @@ def crypto_hash(key: bytes, info_types: list[str] | None = None) -> Kernel:
     return Kernel("CRYPTO_HASH", fn)
 
 
+# int/long DATE_SHIFT: days -> ticks of the column's epoch unit
+# (ref DateShiftTransformationConfig.java:36 supports INT/LONG physical
+# types — epoch-days / epoch-timestamps)
+EPOCH_UNIT_TICKS_PER_DAY = {
+    "days": 1,
+    "seconds": 86_400,
+    "millis": 86_400_000,
+    "micros": 86_400_000_000,
+}
+
+
 def date_shift(
     key: bytes, lower_bound_days: int, upper_bound_days: int,
     context_field: str | None = None,
+    epoch_unit: str = "days",
 ) -> Kernel:
     """DATE_SHIFT, determinized (ref DateShiftTransformationConfig.java:31-91).
 
     Shift is keyed on the context column when configured (mirrors DLP's
     context-keyed shift) else constant per key — never random, so replay
-    hashes reproduce."""
+    hashes reproduce. Integer columns are shifted in-place as epochs:
+    ``epoch_unit`` names what one tick means (days/seconds/millis/micros)."""
     # bounds validated eagerly, mirroring reference validate()
     crypto.date_shift_days("", key, lower_bound_days, upper_bound_days)
+    if epoch_unit not in EPOCH_UNIT_TICKS_PER_DAY:
+        raise ValueError(
+            f"epochUnit must be one of {sorted(EPOCH_UNIT_TICKS_PER_DAY)}, "
+            f"got {epoch_unit!r}"
+        )
 
     def fn(values: pd.Series, ctx: pd.Series | None = None) -> pd.Series:
         if ctx is not None:
@@ -266,12 +284,15 @@ def date_shift(
                 lambda c: crypto.date_shift_days(
                     c, key, lower_bound_days, upper_bound_days
                 )
-            )
-            delta = pd.to_timedelta(days.astype("int64"), unit="D")
-            delta.index = values.index
+            ).astype("int64")
+            days.index = values.index
         else:
-            d = crypto.date_shift_days("", key, lower_bound_days, upper_bound_days)
-            delta = pd.to_timedelta(d, unit="D")
+            days = crypto.date_shift_days(
+                "", key, lower_bound_days, upper_bound_days)
+        if pd.api.types.is_integer_dtype(values.dtype):
+            # epoch column: shift by whole days in the column's unit
+            return values + days * EPOCH_UNIT_TICKS_PER_DAY[epoch_unit]
+        delta = pd.to_timedelta(days, unit="D")
         if values.dtype == object:  # DateType arrives as datetime.date objects
             shifted = pd.to_datetime(values) + delta
             return pd.Series(shifted.dt.date, index=values.index)
@@ -279,7 +300,7 @@ def date_shift(
 
     return Kernel(
         "DATE_SHIFT", fn,
-        supported_types=("date", "timestamp"),
+        supported_types=("date", "timestamp", "int", "bigint"),
         required_cols=(context_field,) if context_field else (),
     )
 

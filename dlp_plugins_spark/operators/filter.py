@@ -113,6 +113,7 @@ def split_sensitive(
     on_error: str = "stop",  # stop | skip | error-port (ref :351-358)
     max_bytes: int = MAX_INSPECT_BYTES,
     template: dict[str, str] | None = None,
+    counters=None,  # redaction.StageCounters: inspect-stage metrics
 ) -> SplitResult:
     """Route rows by PII findings. ``field=None`` inspects the whole record
     (reference's entire-record mode).
@@ -143,7 +144,20 @@ def split_sensitive(
 
     @F.pandas_udf("boolean")
     def is_sensitive(s: pd.Series) -> pd.Series:
-        return predicate(s)
+        # counters mirror dlp.requests.count/success on the inspect stage
+        # (ref SensitiveRecordFilter.java:191-206): rows_in = inspected,
+        # rows_transformed = routed sensitive
+        if counters is not None:
+            counters.rows_in.add(len(s))
+        try:
+            hit = predicate(s)
+        except Exception:
+            if counters is not None:
+                counters.rows_errored.add(len(s))
+            raise
+        if counters is not None:
+            counters.rows_transformed.add(int(hit.sum()))
+        return hit
 
     # null payloads are not oversized (they inspect as "no findings")
     oversize = F.coalesce(

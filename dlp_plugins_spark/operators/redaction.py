@@ -19,9 +19,41 @@ Engine behavior: the plan is compiled ONCE on the driver
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dlp_plugins_spark.plans.spec import CompiledPlan, TransformPlan
+
+
+class StageCounters:
+    """Accumulator-backed apply-stage metrics — the engine's analogue of
+    the reference's ``dlp.requests.count`` / ``.success`` / ``.fail``
+    counters (SensitiveRecordRedaction.java:178-189,
+    SensitiveRecordFilter.java:191-206). Per-record-RPC counting maps to
+    rows here:
+
+    - ``rows_in``: rows entering the apply stage (requests.count);
+    - ``rows_transformed``: value-changed (row, step) pairs — a row
+      rewritten by two plan steps counts twice (success analogue);
+    - ``rows_errored``: rows in Arrow batches where a kernel raised
+      (fail) — the batch still fails the job (stop semantics), but the
+      counter records how far it got.
+
+    Accumulators carry Spark's task-retry semantics (a retried task
+    re-adds) — these are metrics, not bookkeeping; exactness lives in
+    the manifest."""
+
+    def __init__(self, spark: SparkSession):
+        sc = spark.sparkContext
+        self.rows_in = sc.accumulator(0)
+        self.rows_transformed = sc.accumulator(0)
+        self.rows_errored = sc.accumulator(0)
+
+    def snapshot(self) -> dict:
+        return {
+            "rows_in": self.rows_in.value,
+            "rows_transformed": self.rows_transformed.value,
+            "rows_errored": self.rows_errored.value,
+        }
 
 
 def compile_plan(spec, schema) -> CompiledPlan:
@@ -29,30 +61,57 @@ def compile_plan(spec, schema) -> CompiledPlan:
     return plan.compile(schema)
 
 
-def _kernel_udf(kernel, out_type, with_context: bool):
+def _kernel_udf(kernel, out_type, with_context: bool,
+                counters: StageCounters | None = None,
+                count_in: bool = False):
     """Wrap a pandas kernel in an Arrow-batched pandas_udf (factory form —
     pandas_udf type-hint inference forbids extra default args)."""
+
+    def run(values: pd.Series, ctx: pd.Series | None) -> pd.Series:
+        if counters is None:
+            return kernel(values, ctx)
+        if count_in:  # one "request" per row, not per step
+            counters.rows_in.add(len(values))
+        try:
+            out = kernel(values, ctx)
+        except Exception:
+            counters.rows_errored.add(len(values))
+            raise
+        changed = (out != values) & ~(out.isna() & values.isna())
+        counters.rows_transformed.add(int(changed.sum()))
+        return out
+
     if with_context:
         @F.pandas_udf(out_type)
         def _udf(values: pd.Series, ctx: pd.Series) -> pd.Series:
-            return kernel(values, ctx)
+            return run(values, ctx)
     else:
         @F.pandas_udf(out_type)
         def _udf(values: pd.Series) -> pd.Series:
-            return kernel(values, None)
+            return run(values, None)
     return _udf
 
 
-def apply_transforms(df: DataFrame, spec) -> DataFrame:
+def apply_transforms(df: DataFrame, spec,
+                     counters: StageCounters | None = None) -> DataFrame:
     """Apply a transform plan; output schema == input schema
-    (the reference's shape-preserving invariant)."""
+    (the reference's shape-preserving invariant). ``counters`` enables
+    the stage-metrics accumulators (small per-batch comparison cost)."""
     compiled = compile_plan(spec, df.schema)
     dtypes = {f.name: f.dataType for f in df.schema.fields}
-    for step in compiled.steps:
-        udf = _kernel_udf(step.kernel, dtypes[step.field], bool(step.context))
+    for i, step in enumerate(compiled.steps):
+        udf = _kernel_udf(step.kernel, dtypes[step.field], bool(step.context),
+                          counters=counters, count_in=(i == 0))
         args = [F.col(step.field)] + ([F.col(step.context)] if step.context else [])
         df = df.withColumn(step.field, udf(*args))
     return df
+
+
+def field_operations(spec, schema) -> list[dict]:
+    """Per-field transform lineage for a spec (ref Utils.java:337-396);
+    see TransformPlan.field_operations."""
+    plan = spec if isinstance(spec, TransformPlan) else TransformPlan.parse(spec)
+    return plan.field_operations(schema)
 
 
 # Convenience single-purpose wrappers ---------------------------------------

@@ -37,7 +37,11 @@ from dlp_plugins_spark.functions.detectors import (
 )
 
 _STRING_ONLY = ("string",)
-_TEMPORAL = ("date", "timestamp", "timestamp_ntz")
+# DATE_SHIFT physical types: temporal logical types AND raw int/long epoch
+# columns (ref DateShiftTransformationConfig.java:36 declares INT/LONG —
+# the widget's date/timestamp types are logical types over int/long
+# physical storage). Int/long columns take an `epochUnit` property.
+_TEMPORAL = ("date", "timestamp", "timestamp_ntz", "int", "bigint")
 
 # transform -> supported Spark simple type names
 # (ref *TransformConfig.getSupportedTypes; see SURVEY.md §1.2)
@@ -286,6 +290,7 @@ class TransformPlan:
                 int(p.get("lowerBoundDays", 0)),
                 int(p.get("upperBoundDays", 0)),
                 context_field=ctx,
+                epoch_unit=p.get("epochUnit", "days"),
             )
         if e.transform == "FORMAT_PRESERVING_ENCRYPTION":
             return K.fpe(
@@ -326,6 +331,48 @@ class TransformPlan:
                 if f not in out:
                     out.append(f)
         return out
+
+    def field_operations(self, schema: T.StructType) -> list[dict]:
+        """Per-field transform lineage (ref Utils.java:337-396, recorded
+        at SensitiveRecordRedaction.java:143-144): one operation record
+        per (field, transform) with the reference's description wording
+        — "Applied 'X' transform on contents matching Y" — plus identity
+        operations for schema fields no transform touches. Attached to
+        each commit's lineage record by the replay driver, so a
+        compliance audit can answer "which fields did which transform
+        touch" from the lake's own metadata."""
+        ops: list[dict] = []
+        touched: set[str] = set()
+        for e in self.entries:
+            if e.whole_value:
+                filters = ["NONE"]
+                desc = f"Applied '{e.transform}' transform"
+            elif e.uses_template:
+                filters = sorted((self.custom_template or {}).keys())
+                desc = (f"Applied '{e.transform}' transform on contents "
+                        f"matching {', '.join(filters)}")
+            else:
+                filters = e.info_types()
+                desc = (f"Applied '{e.transform}' transform on contents "
+                        f"matching {', '.join(filters)}")
+            for fname in e.fields:
+                touched.add(fname)
+                ops.append({
+                    "field": fname,
+                    "transform": e.transform,
+                    "filters": filters,
+                    "description": desc,
+                })
+        for fname in schema.fieldNames():
+            if fname not in touched:
+                # ref Utils.java identity ops for untouched fields
+                ops.append({
+                    "field": fname,
+                    "transform": "IDENTITY",
+                    "filters": [],
+                    "description": "No transform applied",
+                })
+        return ops
 
 
 @dataclass

@@ -9,11 +9,10 @@ Hadoop-visible filesystem.
 
 Scale notes: the text reader assigns offsets with a window ordered by a
 per-partition monotonic id — correct per file because the Spark text
-source preserves line order within a file split; for multi-GB single
-files (several splits) the offset is still unique and order-preserving
-per (file, split) but is a LINE INDEX, not a byte offset (the reference
-emits byte offsets; a deployment needing byte fidelity would carry
-``length(body)+1`` running sums per file — documented divergence).
+source preserves line order within a file split. Offsets are BYTE
+offsets by default (running ``octet_length(body)+1`` sums per file),
+matching the reference's GCSFile source; pass ``offset_unit='lines'``
+for the cheaper line index when byte fidelity is not needed.
 """
 
 from __future__ import annotations
@@ -22,11 +21,21 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def read_text(spark: SparkSession, path: str,
-              with_file: bool = False) -> DataFrame:
+              with_file: bool = False,
+              offset_unit: str = "bytes") -> DataFrame:
     """Text source, reference schema ``(offset: long, body: string)``.
+
+    ``offset_unit='bytes'`` (default): offset is the byte position of the
+    line start within its file — the reference GCSFile text format's
+    semantics — computed as an exclusive running sum of
+    ``octet_length(body) + 1`` per file. Assumes ``\\n`` terminators
+    (Spark's text source strips the terminator, so ``\\r\\n`` inputs
+    would need +2). ``offset_unit='lines'``: 0-based line index.
 
     ``with_file=True`` keeps the source file path column for multi-file
     reads (the reference's single-object reads don't need it)."""
+    if offset_unit not in ("bytes", "lines"):
+        raise ValueError(f"unknown offset_unit: {offset_unit!r}")
     raw = (
         spark.read.text(path)
         .select(
@@ -36,8 +45,15 @@ def read_text(spark: SparkSession, path: str,
         )
     )
     w = Window.partitionBy("_file").orderBy("_mid")
+    if offset_unit == "bytes":
+        prev = w.rowsBetween(Window.unboundedPreceding, -1)
+        off = F.coalesce(
+            F.sum(F.octet_length("body") + F.lit(1)).over(prev), F.lit(0)
+        )
+    else:
+        off = F.row_number().over(w) - 1
     out = raw.select(
-        (F.row_number().over(w) - 1).cast("long").alias("offset"),
+        off.cast("long").alias("offset"),
         "body",
         F.col("_file").alias("file"),
     )

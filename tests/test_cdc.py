@@ -595,3 +595,70 @@ def test_expire_orphan_grace_period(spark, tmp_path):
     res = table.expire_snapshots(keep_last=1, orphan_grace_sec=3600)
     assert not os.path.exists(orphan)
     assert res["removed_data_files"] >= 1
+
+
+def test_per_field_lineage_and_stage_metrics(spark, tmp_path):
+    """Each commit's lineage must carry per-field transform operations
+    with the reference's description wording (ref Utils.java:337-396,
+    recorded at SensitiveRecordRedaction.java:143-144), and per-batch
+    metrics must carry the accumulator-backed stage counters (ref
+    dlp.requests.count/success/fail)."""
+    table = _mktable(tmp_path, "fieldlin")
+    m = replay(spark, table, 0, BATCH, batch_size=BATCH, gen_kwargs=GEN,
+               stage_metrics=True)
+
+    recs = table.lineage_records()
+    assert recs, "no lineage records"
+    ops = recs[-1]["field_operations"]
+    by_field = {o["field"]: o for o in ops}
+    # the flagship spec redacts `content` on 4 composite groups
+    content_op = by_field["content"]
+    assert content_op["transform"] == "REDACT"
+    assert content_op["description"].startswith(
+        "Applied 'REDACT' transform on contents matching ")
+    assert "EMAIL_ADDRESS" in content_op["filters"]
+    assert "AWS_ACCESS_KEY_ID" in content_op["filters"]
+    # untouched fields get identity operations
+    assert by_field["repo"]["transform"] == "IDENTITY"
+    assert by_field["repo"]["description"] == "No transform applied"
+
+    stage = m.per_batch[0]["stage"]
+    assert stage["rows_in"] == BATCH        # one "request" per row
+    assert 0 < stage["rows_transformed"] <= BATCH
+    assert stage["rows_errored"] == 0
+
+
+def test_mor_compaction_by_delta_threshold(spark, tmp_path):
+    """compact(max_deltas_per_bucket=K): a hot bucket taking every
+    batch's deltas folds when it crosses K; cold buckets' base files are
+    never rewritten."""
+    from dlp_plugins_spark.cdc.merge import merge_batch
+    from dlp_plugins_spark.cdc.replay import spark_state_pdf, state_hash
+    from dlp_plugins_spark.cdc.lake import key_bucket_expr
+
+    table = _mktable(tmp_path, "hotmor")
+    # base: one MOW batch across all buckets
+    replay(spark, table, 0, BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    snap0 = table.current_snapshot()
+    hot_bucket = snap0.files[0]["bucket"]
+    cold_paths = {f["path"] for f in snap0.files
+                  if f["bucket"] != hot_bucket}
+
+    K = 2
+    bucket_col = key_bucket_expr(B.TABLE_KEY, table.n_buckets)
+    for i in range(1, 6):
+        ev = B.generate_binlog(spark, i * BATCH, (i + 1) * BATCH,
+                               batch_size=BATCH, **GEN)
+        hot_only = ev.filter(bucket_col == hot_bucket)
+        merge_batch(table, hot_only, batch_ids=[i], mode="mor")
+        table.compact(spark, max_files_per_bucket=None,
+                      max_deltas_per_bucket=K)
+        deltas = {}
+        for f in table.current_snapshot().files:
+            if f.get("delta"):
+                deltas[f["bucket"]] = deltas.get(f["bucket"], 0) + 1
+        assert all(n <= K for n in deltas.values()), deltas
+    # cold buckets were never rewritten (paths identical)
+    final_cold = {f["path"] for f in table.current_snapshot().files
+                  if f["bucket"] != hot_bucket and not f.get("delta")}
+    assert final_cold == cold_paths

@@ -192,3 +192,29 @@ def test_det_encryption_kernel_roundtrip_with_context():
     # wrong context -> payload passes through undecrypted
     bad = dec(out, pd.Series(["WRONG", "x"]))
     assert "EML(" in bad[0]
+
+
+def test_date_shift_epoch_int_long():
+    """DATE_SHIFT on int/long physical types (ref
+    DateShiftTransformationConfig.java:36): shift rides the column's
+    epoch unit; context keying works; shift stays within bounds."""
+    from dlp_plugins_spark.functions.crypto import date_shift_days
+
+    lo, hi = -10, 10
+    d = date_shift_days("", KEY, lo, hi)
+    assert lo <= d <= hi
+    vals = pd.Series([0, 18000, 20000], dtype="int64")
+    k_days = K.date_shift(KEY, lo, hi, epoch_unit="days")
+    assert list(k_days(vals)) == [v + d for v in vals]
+    k_micros = K.date_shift(KEY, lo, hi, epoch_unit="micros")
+    assert list(k_micros(vals)) == [v + d * 86_400_000_000 for v in vals]
+    # context-keyed: different context values may shift differently,
+    # same context always shifts the same
+    ctx = pd.Series(["u1", "u2", "u1"])
+    out = K.date_shift(KEY, lo, hi, epoch_unit="days")(vals, ctx)
+    d1 = out[0] - vals[0]
+    d2 = out[1] - vals[1]
+    assert out[2] - vals[2] == d1
+    assert lo <= d1 <= hi and lo <= d2 <= hi
+    with pytest.raises(ValueError):
+        K.date_shift(KEY, lo, hi, epoch_unit="fortnights")

@@ -76,11 +76,25 @@ def test_stream_restart_does_not_duplicate(spark, tmp_path):
 
 
 def test_read_text_offsets(spark, tmp_path):
+    """Byte offsets (default) must equal Python tell() ground truth per
+    line start, incl. multi-byte UTF-8; line mode gives the 0-based index."""
     p = tmp_path / "a.txt"
-    p.write_text("alpha\nbeta\ngamma\n")
+    text = "alpha\nbéta\ngamma\nделта\n"
+    p.write_text(text, encoding="utf-8")
+    # ground truth: byte position of each line start via tell()
+    truth = []
+    with open(p, "rb") as f:
+        pos = f.tell()
+        for line in iter(f.readline, b""):
+            truth.append((pos, line.rstrip(b"\n").decode("utf-8")))
+            pos = f.tell()
     out = read_text(spark, str(p)).orderBy("offset").collect()
-    assert [(r.offset, r.body) for r in out] == [
-        (0, "alpha"), (1, "beta"), (2, "gamma")]
+    assert [(r.offset, r.body) for r in out] == truth
+
+    lines = read_text(spark, str(p), offset_unit="lines") \
+        .orderBy("offset").collect()
+    assert [(r.offset, r.body) for r in lines] == [
+        (0, "alpha"), (1, "béta"), (2, "gamma"), (3, "делта")]
 
 
 def test_write_json_roundtrip(spark, tmp_path):
