@@ -414,35 +414,11 @@ class LakeTable:
         # rows sort by key within each bucket file: parquet row-group
         # min/max stats then prune key-range scans (cheap clustering —
         # the sort rides the repartition exchange's output)
-        #
-        # Per-bucket row counts piggyback on the write job as observed
-        # metrics (one conditional-count aggregate per touched bucket,
-        # evaluated map-side) — zero extra jobs and zero per-file driver
-        # IO on the commit path, vs. the O(files-per-commit) parquet
-        # footer reads this replaces.
-        from pyspark.sql import Observation
-
-        to_write = new_data_by_bucket.withColumnRenamed("_bucket", "bucket")
-        obs: Observation | None = None
-        if 0 < len(touched_buckets) <= 256:
-            obs = Observation()
-            to_write = to_write.observe(obs, *[
-                F.coalesce(
-                    F.sum(F.when(F.col("bucket") == b, F.lit(1))
-                          .otherwise(F.lit(0))), F.lit(0)
-                ).cast("long").alias(f"b{b}")
-                for b in touched_buckets
-            ])
-        (to_write
+        (new_data_by_bucket
+            .withColumnRenamed("_bucket", "bucket")
             .repartition(max(len(touched_buckets), 1), "bucket")
             .sortWithinPartitions("bucket", *self.key_cols)
             .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
-
-        if obs is not None:
-            observed = obs.get
-            obs_rows = {b: int(observed[f"b{b}"]) for b in touched_buckets}
-        else:
-            obs_rows = None  # >256 buckets: fall back to footer reads
 
         todo: list[tuple[int, str]] = []
         for b in touched_buckets:
@@ -456,25 +432,9 @@ class LakeTable:
         files: list[dict] = []
         bucket_rows: dict[str, int] = {}
         if todo:
-            per_bucket_files: dict[int, int] = {}
-            for b, _ in todo:
-                per_bucket_files[b] = per_bucket_files.get(b, 0) + 1
-            if obs_rows is not None and all(
-                    n == 1 for n in per_bucket_files.values()):
-                # normal case: hash-on-bucket repartition puts each bucket
-                # in exactly one task -> exactly one file per bucket, so
-                # the observed per-bucket count IS the file's row count
-                counts = [obs_rows[b] for b, _ in todo]
-            else:
-                # rare multi-file-per-bucket shape: footer reads (threaded)
-                from concurrent.futures import ThreadPoolExecutor
-
-                def _rows(rel: str) -> int:
-                    return pq.ParquetFile(
-                        os.path.join(self.path, rel)).metadata.num_rows
-
-                with ThreadPoolExecutor(max_workers=min(16, len(todo))) as ex:
-                    counts = list(ex.map(_rows, [rel for _, rel in todo]))
+            counts = self._file_row_counts(
+                new_data_by_bucket.sparkSession, out_dir, todo,
+                has_lsn="_lsn" in new_data_by_bucket.columns)
             for (b, rel), nrows_f in zip(todo, counts):
                 entry = {"path": rel, "bucket": b, "rows": nrows_f}
                 if delta:
@@ -483,7 +443,7 @@ class LakeTable:
                 bucket_rows[str(b)] = bucket_rows.get(str(b), 0) + nrows_f
 
         # ---- manifest swap: the only mutual-exclusion section ---------------
-        import fcntl
+        import fcntl  # noqa: E402
 
         touched = set(touched_buckets)
         lock_path = os.path.join(self.path, COMMIT_LOCK)
@@ -543,6 +503,45 @@ class LakeTable:
                 json.dump(lineage, f, sort_keys=True)
             os.replace(tmp, lpath)
         return snap
+
+    def _file_row_counts(self, spark: SparkSession, out_dir: str,
+                         todo: list[tuple[int, str]],
+                         has_lsn: bool = True) -> list[int]:
+        """Row counts for the just-written files, as ONE tiny distributed
+        metadata job: an empty-projection parquet scan grouped by
+        input_file_name answers count(*) from row-group metadata in the
+        executors — O(1) driver IO regardless of file count (the
+        threaded driver-side footer reads this replaces were
+        O(files-per-commit) driver round-trips, which is what hurts on
+        an object store). ``SPARK_GRAFT_COMMIT_ROWS=footer`` restores
+        the driver-side footer path for minimum-latency single-writer
+        local runs (~0.4 s/commit cheaper there)."""
+        if os.environ.get("SPARK_GRAFT_COMMIT_ROWS") == "footer" or not has_lsn:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _rows(rel: str) -> int:
+                return pq.ParquetFile(
+                    os.path.join(self.path, rel)).metadata.num_rows
+
+            with ThreadPoolExecutor(max_workers=min(16, len(todo))) as ex:
+                return list(ex.map(_rows, [rel for _, rel in todo]))
+        # explicit schema: no driver-side inference footer read
+        cnt_rows = (
+            spark.read.schema(T.StructType([T.StructField(
+                "_lsn", T.LongType())]))
+            .parquet(out_dir)
+            .groupBy(F.input_file_name().alias("_f"))
+            .count()
+            .collect()
+        )
+        # key on bucket-dir/basename: partitionBy reuses one part-NNNNN
+        # name per task across every bucket dir it writes, so basenames
+        # alone collide
+        def _key(p: str) -> str:
+            return "/".join(p.split("/")[-2:])
+
+        by_file = {_key(r["_f"]): int(r["count"]) for r in cnt_rows}
+        return [by_file.get(_key(rel), 0) for _, rel in todo]
 
     # -- lineage ------------------------------------------------------------------
     def lineage_records(self) -> list[dict]:
