@@ -791,6 +791,71 @@ ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
 """
 
 
+def q_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table join (region->nation->customer->orders->
+    lineitem->supplier with the local-supplier co-nation predicate).
+    Plan shape: the four dimension tables broadcast; only
+    orders><lineitem shuffles — at 100 TB the fact-fact join is the one
+    hash exchange, everything else is map-side."""
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation")
+    customer = _read(spark, sf_dir, "customer")
+    supplier = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    li = _read(spark, sf_dir, "lineitem")
+    dim = (F.broadcast(region)
+           .join(F.broadcast(nation),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .join(customer, F.col("c_nationkey") == F.col("n_nationkey")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier),
+              (F.col("s_suppkey") == F.col("l_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+SQL_Q5_LOCAL_SUPPLIER = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+def q_cube_order_stats(spark, sf_dir):
+    """CUBE grouping sets over (status, priority) — all four grouping
+    combinations in one pass (subtotal rows carry nulls)."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+SQL_CUBE_ORDER_STATS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_sql_api_pricing_summary(spark, sf_dir):
     """Same engine surface through spark.sql: TPC-H Q1-shaped pricing
     summary as a SQL string over registered temp views (DataFrame API
@@ -1107,18 +1172,35 @@ def q_date_shift_context(spark, sf_dir):
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: synthetic opaque binary payloads ->
     Arrow-batched feature extraction (decode step is the deterministic
-    fake; real codecs are stubbed, see operators/multimodal.py)."""
+    fake; real codecs are stubbed, see operators/multimodal.py).
+    Oracle-attestable: payload sizes, fake-decode dims, and digest shape
+    are all closed-form in media_id (sha256-of-blob itself has no DuckDB
+    equivalent — byte-exactness vs hashlib is tests/test_pipeline_ops)."""
     from dlp_plugins_spark.operators.multimodal import (
         extract_features, synth_media_df,
     )
 
     media = synth_media_df(spark, n=256)
     return extract_features(media, fake_decode=True).select(
-        "media_id", "sha256", "n_bytes", "width", "height")
+        "media_id", "n_bytes", "width", "height",
+        F.col("sha256").rlike("^[0-9a-f]{64}$").alias("sha_ok"),
+    )
+
+
+SQL_MEDIA_FEATURES = """
+SELECT media_id,
+       CAST(32 * (4 + media_id % 4) AS INT) AS n_bytes,
+       CAST(8 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       true AS sha_ok
+FROM range(0, 256) t(media_id)
+"""
 
 
 def q_media_frames(spark, sf_dir):
-    """Row-expanding mapInPandas contract (frame sampling)."""
+    """Row-expanding mapInPandas contract (frame sampling). Frame counts
+    are closed-form in media_id (payload = 32-byte digest x (4+id%4),
+    sampled every 2nd frame) — oracle-attestable."""
     from dlp_plugins_spark.operators.multimodal import (
         sample_frames, synth_media_df,
     )
@@ -1128,6 +1210,14 @@ def q_media_frames(spark, sf_dir):
         F.count("*").alias("n_frames"),
         F.min("frame_idx").alias("first_frame"),
     )
+
+
+SQL_MEDIA_FRAMES = """
+SELECT media_id,
+       CAST(ceil((4 + media_id % 4) / 2.0) AS BIGINT) AS n_frames,
+       CAST(0 AS INT) AS first_frame
+FROM range(0, 128) t(media_id)
+"""
 
 
 def q_cdc_schema_evolution(spark, sf_dir):
@@ -1248,6 +1338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_csv_orders": q_parse_csv_orders,
         "rollup_revenue": q_rollup_revenue,
         "q3_shipping": q_q3_shipping,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
+        "cube_order_stats": q_cube_order_stats,
         "sql_api_pricing_summary": q_sql_api_pricing_summary,
         "hourly_event_counts": q_hourly_event_counts,
         "asof_last_click_before_purchase": q_asof_last_click_before_purchase,
@@ -1311,6 +1403,8 @@ def oracle_sql() -> dict[str, str]:
         "parse_csv_orders": SQL_PARSE_CSV_ORDERS,
         "rollup_revenue": SQL_ROLLUP_REVENUE,
         "q3_shipping": SQL_Q3_SHIPPING,
+        "q5_local_supplier_volume": SQL_Q5_LOCAL_SUPPLIER,
+        "cube_order_stats": SQL_CUBE_ORDER_STATS,
         "sql_api_pricing_summary": SQL_SQL_API_PRICING,
         "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
         "asof_last_click_before_purchase": SQL_ASOF_LAST_CLICK,
@@ -1323,4 +1417,6 @@ def oracle_sql() -> dict[str, str]:
         "crypto_hash_langs": SQL_CRYPTO_HASH_INVARIANTS,
         "fpe_roundtrip": SQL_FPE_ROUNDTRIP,
         "det_encrypt_roundtrip": SQL_DET_ROUNDTRIP,
+        "media_features": SQL_MEDIA_FEATURES,
+        "media_frames": SQL_MEDIA_FRAMES,
     }

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "split_whole_record",
     "finding_counts_by_lang",
     "date_shift_events",
+    "date_shift_epoch_days",
     "crypto_hash_langs",
     "fpe_roundtrip",
     "redact_custom_template",
@@ -47,6 +48,8 @@ BENCH_QUERIES = [
     "revenue_by_mktsegment",
     "q1_lineitem",
     "q3_shipping",
+    "q5_local_supplier_volume",
+    "cube_order_stats",
     "rollup_revenue",
     "top5_orders_per_status",
     "sql_api_pricing_summary",
@@ -63,6 +66,7 @@ BENCH_QUERIES = [
     "minhash_near_dup_pairs",
     "simhash_docs",
     "brute_force_topk",
+    "embedding_near_dup",
     "ann_topk_lsh",
     "ann_topk_ivf",
     "media_features",

@@ -367,6 +367,21 @@ class LakeTable:
             return resolved
         return clean_df.unionByName(resolved)
 
+    def changes_since(self, spark: SparkSession, lsn: int,
+                      snapshot: Snapshot | None = None) -> DataFrame:
+        """Incremental read (Iceberg incremental-scan / change-feed
+        analogue): current-state rows whose ``_lsn`` is greater than
+        ``lsn`` — what a downstream consumer needs to catch up from its
+        own checkpoint. Because bucket files are written with parquet
+        row-group statistics and every row carries ``_lsn``, the filter
+        pushes down to row-group pruning: old cold files are skipped at
+        the scan, so the cost tracks the amount of change, not table
+        size. Deletes are not replayed (merge-on-write drops them);
+        consumers needing delete events tail the binlog or the MOR delta
+        files, which keep ``_op``."""
+        return self.read(spark, snapshot=snapshot).filter(
+            F.col("_lsn") > F.lit(int(lsn)))
+
     # -- commit ------------------------------------------------------------------
     def commit_merge(
         self,
@@ -378,6 +393,8 @@ class LakeTable:
         lineage_extra: dict | None = None,
         delta: bool = False,
         expected_parent: int | None = None,
+        replace_all: bool = False,
+        properties: dict | None = None,
     ) -> Snapshot:
         """Write new files for ``touched_buckets`` and commit.
 
@@ -457,7 +474,9 @@ class LakeTable:
                     f"was computed against {expected_parent}"
                 )
             commit_id = self._next_snapshot_id()
-            if delta:
+            if replace_all:
+                kept = []  # full-table rewrite (rebucket)
+            elif delta:
                 kept = list(prev.files)  # append-only: nothing is replaced
             else:
                 kept = [f for f in prev.files if f["bucket"] not in touched]
@@ -477,14 +496,18 @@ class LakeTable:
                 applied_batches=sorted(
                     set(prev.applied_batches) | set(batch_ids)),
                 parent=prev.snapshot_id,
-                properties=prev.properties,
+                properties=properties if properties is not None
+                else prev.properties,
                 shard_refs=dict(prev.shard_refs),
             )
             # only shards whose bucket range this commit touched get
-            # rewritten; the rest carry over by reference
+            # rewritten; the rest carry over by reference (a replace_all
+            # commit invalidates every shard — the bucket->shard mapping
+            # itself may have changed)
             self._write_snapshot(
                 snap,
-                dirty_shards={self._shard_of(b) for b in touched_buckets},
+                dirty_shards=None if replace_all
+                else {self._shard_of(b) for b in touched_buckets},
             )
             lineage = {
                 "snapshot_id": commit_id,
@@ -623,6 +646,45 @@ class LakeTable:
                            "compacted_buckets": sorted(crowded)},
             expected_parent=snap.snapshot_id,
         )
+
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> Snapshot:
+        """Rewrite the table into a different bucket count — the growth
+        path when data outgrows the layout chosen at create time (more
+        buckets = more write parallelism, finer commit/compaction
+        granularity, smaller per-bucket files). One full-table rewrite
+        committed atomically: readers resolve the pointer to either the
+        old or the new layout, never a mix, and the key->bucket mapping
+        (xxhash64 pmod n) switches in the same commit that updates the
+        ``n_buckets`` table property. At 100 TB this is the operation
+        you schedule, not avoid: a deliberate one-off rewrite instead of
+        letting every future merge suffer oversized buckets."""
+        if new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
+        snap = self.current_snapshot()
+        data = self.read(spark, snapshot=snap)  # deltas resolve here
+        old_n = self.n_buckets
+        self.n_buckets = new_n_buckets  # new mapping for bucket + shards
+        try:
+            bucketed = data.withColumn(
+                "_bucket", key_bucket_expr(self.key_cols, new_n_buckets))
+            props = dict(snap.properties)
+            props["n_buckets"] = new_n_buckets
+            return self.commit_merge(
+                bucketed,
+                touched_buckets=list(range(new_n_buckets)),
+                lsn_range=(-1, -1),  # maintenance: no new LSNs
+                batch_ids=[],
+                schema=snap.schema(),
+                lineage_extra={"maintenance": "rebucket",
+                               "old_n_buckets": old_n,
+                               "new_n_buckets": new_n_buckets},
+                expected_parent=snap.snapshot_id,
+                replace_all=True,
+                properties=props,
+            )
+        except BaseException:
+            self.n_buckets = old_n  # nothing committed: restore mapping
+            raise
 
     def expire_snapshots(self, keep_last: int = 2,
                          orphan_grace_sec: float = 0.0) -> dict:

@@ -662,3 +662,41 @@ def test_mor_compaction_by_delta_threshold(spark, tmp_path):
     final_cold = {f["path"] for f in table.current_snapshot().files
                   if f["bucket"] != hot_bucket and not f.get("delta")}
     assert final_cold == cold_paths
+
+
+def test_rebucket_preserves_state_and_continues(spark, tmp_path):
+    """rebucket: full-table rewrite into a new bucket count — state hash
+    unchanged, n_buckets property updated atomically, a reloaded table
+    picks up the new layout and continues replaying correctly."""
+    from dlp_plugins_spark.cdc.replay import spark_state_pdf, state_hash
+
+    table = _mktable(tmp_path, "rb")  # 8 buckets
+    replay(spark, table, 0, 2 * BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    h_before = state_hash(spark_state_pdf(spark, table))
+
+    snap = table.rebucket(spark, 32)
+    assert snap.properties["n_buckets"] == 32
+    assert {f["bucket"] for f in snap.files} <= set(range(32))
+    assert max(f["bucket"] for f in snap.files) >= 8  # actually re-spread
+    assert state_hash(spark_state_pdf(spark, table)) == h_before
+
+    # reload from disk: new layout + replay continues; applied ranges kept
+    t2 = LakeTable.load(str(tmp_path / "rb"))
+    assert t2.n_buckets == 32
+    assert resume_lsn(t2) == 2 * BATCH
+    replay(spark, t2, 2 * BATCH, N, batch_size=BATCH, gen_kwargs=GEN)
+    assert state_hash(spark_state_pdf(spark, t2)) == _oracle_hash(N)
+
+
+def test_changes_since_incremental_read(spark, tmp_path):
+    """changes_since(lsn): exactly the current-state rows written after
+    the checkpoint — the downstream-consumer incremental read."""
+    table = _mktable(tmp_path, "feed")
+    replay(spark, table, 0, N, batch_size=BATCH, gen_kwargs=GEN)
+    mid = 2 * BATCH - 1
+    inc = table.changes_since(spark, mid).toPandas()
+    full = spark_state_pdf(spark, table)
+    expect = full[full["_lsn"] > mid]
+    assert state_hash(inc.sort_values(["repo", "path"]).reset_index(drop=True)) \
+        == state_hash(expect.sort_values(["repo", "path"]).reset_index(drop=True))
+    assert len(inc) > 0 and len(inc) < len(full)
