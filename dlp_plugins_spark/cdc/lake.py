@@ -614,7 +614,15 @@ class LakeTable:
           tracks where deltas actually land, not a global cadence.
 
         Pass ``None`` to disable a trigger. The commit records an empty
-        LSN range (no new data applied)."""
+        LSN range (no new data applied).
+
+        Ordering constraint: folding deltas DROPS tombstones, so
+        compaction must only run when every LSN window below the
+        table's high-water mark has been applied (a late lower-LSN
+        window would otherwise resurrect keys whose delete was folded
+        away). The single-writer replay protocol applies windows in
+        order, which guarantees this; multi-writer MOR deployments must
+        gate compaction on window contiguity."""
         snap = self.current_snapshot()
         by_bucket: dict[int, int] = {}
         deltas_by_bucket: dict[int, int] = {}

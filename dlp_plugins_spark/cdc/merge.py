@@ -27,7 +27,11 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from dlp_plugins_spark.cdc.lake import LakeTable, key_bucket_expr
+from dlp_plugins_spark.cdc.lake import (
+    CommitConflict,
+    LakeTable,
+    key_bucket_expr,
+)
 
 OP_COL = "op"
 LSN_COL = "lsn"
@@ -76,8 +80,25 @@ def merge_batch(
     transform=None,
     mode: str = "mow",
     lineage_extra: dict | None = None,
+    conflict_retries: int = 0,
 ) -> MergeStats | None:
     """Apply one micro-batch to the lake table, committing a snapshot.
+
+    ``conflict_retries``: optimistic-concurrency retry loop. A losing
+    writer's CommitConflict means another writer advanced the table
+    since this merge read its base snapshot; each retry recomputes the
+    WHOLE merge against the new current snapshot (required for
+    correctness — the current-state read and the exactly-once filter
+    both depend on it). 0 = propagate the conflict to the caller
+    (single-writer deployments never see one).
+
+    Cross-batch ordering semantics: merge-on-write drops tombstones at
+    merge time, so LSN windows must be applied in order (the replay
+    driver's protocol) — a later-applied LOWER window could resurrect a
+    key whose delete already merged. Merge-on-read keeps tombstones in
+    the deltas, so concurrent writers may land disjoint windows in ANY
+    order and read-time LWW still resolves exactly (test-asserted by
+    test_conflict_retry_both_writers_land).
 
     ``batch`` schema: key cols + payload cols + ``op`` (I/U/D) + ``lsn``
     (+ optional ``batch_id``). Payload columns may be a superset of the
@@ -113,6 +134,25 @@ def merge_batch(
     hot keys before the shuffle — a separate dedup pass would add a
     full extra shuffle for zero semantic gain. ``salted=True`` keeps a
     pre-reduce for pathological single-key batches."""
+    last: Exception | None = None
+    for _ in range(max(conflict_retries, 0) + 1):
+        try:
+            return _merge_once(table, batch, batch_ids, salted, transform,
+                               mode, lineage_extra)
+        except CommitConflict as exc:
+            last = exc
+    raise last
+
+
+def _merge_once(
+    table: LakeTable,
+    batch: DataFrame,
+    batch_ids: list[int],
+    salted: bool,
+    transform,
+    mode: str,
+    lineage_extra: dict | None,
+) -> MergeStats | None:
     spark = batch.sparkSession
     snap = table.current_snapshot()
 

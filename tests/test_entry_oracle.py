@@ -91,3 +91,14 @@ def test_entry_smoke(spark):
     assert "redacted_text" in pdf.columns and "text_sha" in pdf.columns
     # planted emails must be gone
     assert not pdf["redacted_text"].str.contains("@corp.example.com").any()
+
+
+def test_q5_plan_broadcasts_dimensions(spark):
+    """Plan-shape gate: the Q5 six-table join must broadcast every
+    dimension — at scale the only shuffle is the fact-fact join. A
+    SortMergeJoin against region/nation/customer/supplier would mean a
+    lost broadcast hint and a full dimension shuffle at 100 TB."""
+    df = E.queries()["q5_local_supplier_volume"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "CartesianProduct" not in plan
