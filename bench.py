@@ -106,6 +106,13 @@ def run_cdc_replay(spark) -> tuple[float, float, float, int, float]:
                         paths_per_repo=500, batch_size=BATCH) \
             .write.mode("overwrite").parquet(binlog_path)
         events = spark.read.parquet(binlog_path)
+        # untimed warmup into a throwaway table: JIT/codegen + Python
+        # worker spawn are one-time JVM costs, not replay cost (same
+        # protocol as BENCH/scaling_run.py)
+        warm = LakeTable.create(os.path.join(tdir, "warm"), payload,
+                                TABLE_KEY, n_buckets=64)
+        replay(spark, warm, 0, min(100_000, N_EVENTS),
+               batch_size=min(100_000, BATCH), events_df=events)
         table = LakeTable.create(os.path.join(tdir, "t"), payload, TABLE_KEY,
                                  n_buckets=64)
         m = replay(spark, table, 0, N_EVENTS, batch_size=BATCH,
