@@ -838,6 +838,41 @@ GROUP BY n_name ORDER BY revenue DESC, n_name
 """
 
 
+def q_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-shaped: lineitem><part join with a conditional
+    aggregate (promo share of revenue by part type). Part broadcasts;
+    lineitem never shuffles."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01")))
+    part = _read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.round(F.sum(
+                F.when(F.col("p_brand") == "Brand#2", rev).otherwise(F.lit(0.0))
+            ), 2).alias("brand2_revenue"),
+        )
+    )
+
+
+SQL_Q14_PROMO_REVENUE = """
+SELECT p_type, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CASE WHEN p_brand = 'Brand#2'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
+         AS brand2_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-07-01'
+GROUP BY p_type
+"""
+
+
 def q_cube_order_stats(spark, sf_dir):
     """CUBE grouping sets over (status, priority) — all four grouping
     combinations in one pass (subtotal rows carry nulls)."""
@@ -1339,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "q3_shipping": q_q3_shipping,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
+        "q14_promo_revenue": q_q14_promo_revenue,
         "cube_order_stats": q_cube_order_stats,
         "sql_api_pricing_summary": q_sql_api_pricing_summary,
         "hourly_event_counts": q_hourly_event_counts,
@@ -1404,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": SQL_ROLLUP_REVENUE,
         "q3_shipping": SQL_Q3_SHIPPING,
         "q5_local_supplier_volume": SQL_Q5_LOCAL_SUPPLIER,
+        "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,
         "cube_order_stats": SQL_CUBE_ORDER_STATS,
         "sql_api_pricing_summary": SQL_SQL_API_PRICING,
         "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,

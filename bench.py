@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "q1_lineitem",
     "q3_shipping",
     "q5_local_supplier_volume",
+    "q14_promo_revenue",
     "cube_order_stats",
     "rollup_revenue",
     "top5_orders_per_status",

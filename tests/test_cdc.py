@@ -761,3 +761,25 @@ def test_conflict_retry_both_writers_land(spark, tmp_path):
         M._merge_once = orig_once
     assert stats is not None
     assert state_hash(spark_state_pdf(spark, table)) == _oracle_hash(3 * BATCH)
+
+
+def test_commit_rows_footer_mode_equivalent(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_COMMIT_ROWS=footer (driver-side footer reads) must
+    produce identical manifests/lineage to the default distributed
+    count job."""
+    import json
+
+    t1 = _mktable(tmp_path, "rows_job")
+    replay(spark, t1, 0, BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    monkeypatch.setenv("SPARK_GRAFT_COMMIT_ROWS", "footer")
+    t2 = _mktable(tmp_path, "rows_footer")
+    replay(spark, t2, 0, BATCH, batch_size=BATCH, gen_kwargs=GEN)
+
+    def rows_view(t):
+        snap = t.current_snapshot()
+        return (
+            sorted((f["bucket"], f["rows"]) for f in snap.files),
+            [r["bucket_rows"] for r in t.lineage_records()],
+        )
+
+    assert rows_view(t1) == rows_view(t2)

@@ -299,3 +299,33 @@ def test_simhash_near_dup_pairs(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 6
     assert not any(4 in p for p in pairs)
+
+
+def test_resize_stub_marks_meta(spark):
+    from dlp_plugins_spark.operators.multimodal import (
+        resize_stub, synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=4)
+    out = resize_stub(media, 224, 224).select("media_id", "meta").collect()
+    assert all(r.meta["resize_to"] == "224x224" for r in out)
+    assert all("source" in r.meta for r in out)  # original meta preserved
+
+
+def test_range_join_buckets_negative_domain(spark):
+    """Bucketing must FLOOR (not truncate toward zero): negative points
+    and intervals land in the right bucket, so no candidate is lost."""
+    from dlp_plugins_spark.operators.joins import range_join_buckets
+
+    pts = spark.createDataFrame(
+        [(-5,), (-15,), (-10,), (0,), (7,)], "x int")
+    ivs = spark.createDataFrame(
+        [(-20, -1, "neg"), (-3, 8, "straddle")], "lo int, hi int, tag string")
+    out = {(r.x, r.tag) for r in
+           range_join_buckets(pts, ivs, "x", "lo", "hi",
+                              granularity=10).collect()}
+    # brute-force truth: lo <= x < hi
+    truth = {(x, tag) for x in (-5, -15, -10, 0, 7)
+             for lo, hi, tag in ((-20, -1, "neg"), (-3, 8, "straddle"))
+             if lo <= x < hi}
+    assert out == truth and ( -5, "neg") in out

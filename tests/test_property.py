@@ -153,3 +153,26 @@ def test_redact_removes_all_plain_findings(rows):
     )
     for v in out:
         assert not rx.search(v), v
+
+
+@given(st.lists(
+    st.tuples(st.integers(-100, 100), st.integers(0, 30)), max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_coalesce_ranges_exact_cover(pairs):
+    """Coalesced LSN ranges are sorted, disjoint, non-adjacent, and
+    cover EXACTLY the union of the inputs (the exactly-once predicate
+    depends on this)."""
+    from dlp_plugins_spark.cdc.lake import _coalesce_ranges
+
+    ranges = [[lo, lo + w] for lo, w in pairs]
+    out = _coalesce_ranges(ranges)
+    covered = set()
+    for lo, hi in ranges:
+        covered |= set(range(lo, hi + 1))
+    out_covered = set()
+    for lo, hi in out:
+        assert lo <= hi
+        out_covered |= set(range(lo, hi + 1))
+    assert out_covered == covered
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(out, out[1:]):
+        assert a_hi + 1 < b_lo  # sorted, disjoint, non-adjacent
