@@ -946,6 +946,49 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
 """
 
 
+def q_near_dup_components(spark, sf_dir):
+    """Cluster-level dedup: char-ngram-Jaccard edges (>= 0.63 among the
+    first 40 docs) -> connected components via iterative min-label
+    propagation. A chain a~b~c is ONE duplicate cluster even though
+    (a,c) was never a candidate pair — the transitive closure the
+    keep-one-per-cluster policy actually needs. Oracle: the same edges
+    + a recursive-CTE reachability closure in DuckDB."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    ids = docs.select(F.col("doc_id").alias("_i"))
+    allpairs = (
+        ids.alias("x").join(ids.alias("y"), F.col("x._i") < F.col("y._i"))
+        .select(F.col("x._i").alias("a_id"), F.col("y._i").alias("b_id"))
+    )
+    edges = D.char_ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), allpairs, n=3
+    ).filter(F.col("jaccard") >= 0.63)
+    return D.connected_components(edges).orderBy("id")
+
+
+SQL_NEAR_DUP_COMPONENTS = """
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         list_distinct([substring(lower(text), i, 3)
+                        for i in range(1, length(text) - 1)]) AS s
+  FROM documents WHERE doc_id < 40),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(a.s || b.s)) >= 0.63),
+edges AS (SELECT a_id AS src, b_id AS dst FROM p
+          UNION SELECT b_id, a_id FROM p),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (
+  SELECT src AS id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src)
+SELECT id, component FROM comp ORDER BY id
+"""
+
+
 def q_split_error_port(spark, sf_dir):
     """On-error routing (ref SensitiveRecordFilter.java:351-358): docs
     whose payload exceeds the inspect limit go to the error port; the
@@ -1389,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_groups": q_exact_dedup_groups,
         "exact_dedup_keep": q_exact_dedup_keep,
         "char_ngram_jaccard": q_char_ngram_jaccard,
+        "near_dup_components": q_near_dup_components,
         "brute_force_topk": q_brute_force_topk,
         "top_similar_pairs": q_top_similar_pairs,
         # oracle-attested via planted near-dups / aggregate invariants
@@ -1449,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": SQL_SESSIONIZE,
         "value_percentiles_by_type": SQL_VALUE_PERCENTILES,
         "char_ngram_jaccard": SQL_CHAR_NGRAM_JACCARD,
+        "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
         "date_shift_epoch_days": SQL_DATE_SHIFT_EPOCH,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "crypto_hash_langs": SQL_CRYPTO_HASH_INVARIANTS,

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "exact_dedup_groups",
     "exact_dedup_keep",
     "char_ngram_jaccard",
+    "near_dup_components",
     "minhash_near_dup_pairs",
     "simhash_docs",
     "brute_force_topk",

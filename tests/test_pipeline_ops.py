@@ -329,3 +329,28 @@ def test_range_join_buckets_negative_domain(spark):
              for lo, hi, tag in ((-20, -1, "neg"), (-3, 8, "straddle"))
              if lo <= x < hi}
     assert out == truth and ( -5, "neg") in out
+
+
+def test_connected_components_chain_and_island(spark):
+    """A 4-node chain (diameter 3: needs >1 propagation round) plus a
+    2-node island resolve to exactly two components labeled by min id."""
+    from dlp_plugins_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a_id long, b_id long")
+    got = {r.id: r.component
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_by_components_keeps_one_per_cluster(spark):
+    from dlp_plugins_spark.operators.dedup import dedup_by_components
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 4, 10, 11, 99)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a_id long, b_id long")
+    kept = sorted(r.doc_id
+                  for r in dedup_by_components(docs, pairs).collect())
+    assert kept == [1, 10, 99]  # one per cluster + untouched singleton
