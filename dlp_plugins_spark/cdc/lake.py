@@ -297,6 +297,16 @@ class LakeTable:
         what re-applying them after a bad deploy requires."""
         snap = self.snapshot(snapshot_id)  # raises if expired/unknown
         self._write_pointer(snap.snapshot_id)
+        # Restore layout state from the target snapshot's properties: a
+        # rollback ACROSS a rebucket() must also roll back the live
+        # instance's key->bucket mapping, or the next merge would place
+        # updated keys under the new mapping while their existing rows
+        # sit in files bucketed under the old one — silent duplicate
+        # keys. (LakeTable.load of the same path reads these properties
+        # too, so live instance and fresh loads agree.)
+        props = snap.properties or {}
+        self.n_buckets = props.get("n_buckets", self.n_buckets)
+        self.key_cols = props.get("key_cols", self.key_cols)
         # Post-rollback commits allocate ids past the abandoned branch's
         # manifests (_next_snapshot_id), so history is never overwritten.
         return snap

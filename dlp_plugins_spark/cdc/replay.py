@@ -99,8 +99,15 @@ def replay(
     gen_kwargs["batch_size"] = batch_size
     metrics = ReplayMetrics()
     # per-field transform lineage, attached to every commit's lineage
-    # record (ref FieldTransformOperation, Utils.java:337-396)
+    # record (ref FieldTransformOperation, Utils.java:337-396); cached
+    # per payload schema — it only changes on schema evolution
     plan = TransformPlan.parse(spec) if spec else None
+    field_ops_cache: dict[tuple, list] = {}
+    # ONE StageCounters for the whole replay (accumulators register in
+    # the SparkContext for its lifetime — per-batch instances would leak
+    # 3 registry entries per batch); per-batch numbers are deltas.
+    counters = StageCounters(spark) if (stage_metrics and spec) else None
+    prev_counts = counters.snapshot() if counters else None
     t0 = time.monotonic()
     for lo in range(lo_lsn, hi_lsn, batch_size):
         hi = min(lo + batch_size, hi_lsn)
@@ -120,17 +127,21 @@ def replay(
         # DLP apply stage (vectorized; schema-preserving) runs INSIDE the
         # merge job on fresh rows only — after the exactly-once filter,
         # pipelined with the merge shuffle (no persist barrier).
-        counters = StageCounters(spark) if (stage_metrics and spec) else None
+        from dlp_plugins_spark.cdc.merge import LSN_COL, OP_COL
+
         tf = (lambda df: apply_transforms(df, spec, counters=counters)) \
             if spec else None
         lineage_extra = None
         if plan is not None:
-            payload_schema = T.StructType([
+            payload_fields = tuple(
                 f for f in batch.schema.fields
-                if f.name not in ("op", "lsn", "batch_id")
-            ])
-            lineage_extra = {
-                "field_operations": plan.field_operations(payload_schema)}
+                if f.name not in (OP_COL, LSN_COL, "batch_id")
+            )
+            key = tuple(f.name for f in payload_fields)
+            if key not in field_ops_cache:
+                field_ops_cache[key] = plan.field_operations(
+                    T.StructType(list(payload_fields)))
+            lineage_extra = {"field_operations": field_ops_cache[key]}
         stats = merge_batch(table, batch, batch_ids=[bid], salted=salted,
                             transform=tf, mode=mode,
                             lineage_extra=lineage_extra)
@@ -152,7 +163,11 @@ def replay(
                 "ops": stats.op_counts,
             }
             if counters is not None:
-                entry["stage"] = counters.snapshot()
+                now_counts = counters.snapshot()
+                entry["stage"] = {
+                    k: now_counts[k] - prev_counts[k] for k in now_counts
+                }
+                prev_counts = now_counts
             metrics.per_batch.append(entry)
     metrics.wall_sec = time.monotonic() - t0
     return metrics

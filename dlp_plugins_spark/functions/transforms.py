@@ -289,8 +289,13 @@ def date_shift(
         else:
             days = crypto.date_shift_days(
                 "", key, lower_bound_days, upper_bound_days)
-        if pd.api.types.is_integer_dtype(values.dtype):
-            # epoch column: shift by whole days in the column's unit
+        if pd.api.types.is_integer_dtype(values.dtype) or \
+                pd.api.types.is_float_dtype(values.dtype):
+            # epoch column: shift by whole days in the column's unit.
+            # Float also takes this path: a NULLABLE int/bigint column
+            # whose Arrow batch contains a null arrives as float64+NaN —
+            # the add propagates NaN and Arrow casts back to a nullable
+            # int on return.
             return values + days * EPOCH_UNIT_TICKS_PER_DAY[epoch_unit]
         delta = pd.to_timedelta(days, unit="D")
         if values.dtype == object:  # DateType arrives as datetime.date objects

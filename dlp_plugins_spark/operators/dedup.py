@@ -407,6 +407,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new.drop("_chg")
         if changed == 0:
             break
+    else:
+        # Silent wrong answers are worse than a loud stop: an
+        # unconverged label set would make dedup keep several
+        # "representatives" from one duplicate cluster.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter — raise it, or use star "
+            "contraction for long-chain graphs)"
+        )
     return labels.select("id", F.col("comp").alias("component"))
 
 

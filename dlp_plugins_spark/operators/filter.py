@@ -183,6 +183,13 @@ def split_sensitive(
     flagged = flagged.withColumn(
         "_sensitive", F.when(~F.col("_over"), is_sensitive(target))
     )
+    if counters is not None:
+        # Both ports consume this same plan; without a persist each
+        # port's action would re-run the inspect UDF and double every
+        # counter. Persisting pins one evaluation per row (and also
+        # saves the second inspection pass). Caller owns the lifetime
+        # (Spark's LRU evicts; spark.catalog.clearCache() forces).
+        flagged = flagged.persist()
     ok = flagged.filter(~F.col("_over"))
     sensitive = ok.filter(F.col("_sensitive")).drop("_sensitive", "_over")
     non_sensitive = ok.filter(~F.col("_sensitive")).drop("_sensitive", "_over")

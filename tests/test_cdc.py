@@ -783,3 +783,26 @@ def test_commit_rows_footer_mode_equivalent(spark, tmp_path, monkeypatch):
         )
 
     assert rows_view(t1) == rows_view(t2)
+
+
+def test_rollback_across_rebucket_restores_layout(spark, tmp_path):
+    """Rolling back across a rebucket must restore the live instance's
+    key->bucket mapping, or the next merge would place updated keys
+    under the new mapping while their rows sit in old-mapping files —
+    silent duplicate keys."""
+    from dlp_plugins_spark.cdc.replay import spark_state_pdf, state_hash
+
+    table = _mktable(tmp_path, "rbx")  # 8 buckets
+    replay(spark, table, 0, BATCH, batch_size=BATCH, gen_kwargs=GEN)
+    sid_before = table.current_snapshot().snapshot_id
+    table.rebucket(spark, 32)
+    assert table.n_buckets == 32
+
+    table.rollback(sid_before)
+    assert table.n_buckets == 8  # layout restored with the pointer
+
+    # replay continues under the restored mapping: no duplicate keys
+    replay(spark, table, BATCH, N, batch_size=BATCH, gen_kwargs=GEN)
+    got = spark_state_pdf(spark, table)
+    assert not got.duplicated(subset=["repo", "path"]).any()
+    assert state_hash(got) == _oracle_hash(N)

@@ -218,3 +218,16 @@ def test_date_shift_epoch_int_long():
     assert lo <= d1 <= hi and lo <= d2 <= hi
     with pytest.raises(ValueError):
         K.date_shift(KEY, lo, hi, epoch_unit="fortnights")
+
+
+def test_date_shift_epoch_nullable_float_arrival():
+    """A nullable int/bigint epoch column with a NULL arrives from Arrow
+    as float64+NaN — the epoch path must still shift (NaN propagates to
+    null) instead of crashing in the timestamp branch."""
+    from dlp_plugins_spark.functions.crypto import date_shift_days
+
+    d = date_shift_days("", KEY, -5, 5)
+    vals = pd.Series([18000.0, float("nan"), 0.0], dtype="float64")
+    out = K.date_shift(KEY, -5, 5, epoch_unit="days")(vals)
+    assert out[0] == 18000.0 + d and out[2] == float(d)
+    assert pd.isna(out[1])

@@ -308,3 +308,23 @@ def test_custom_template_from_file(spark, tmp_path):
                 {"transform": "REDACT", "fields": "t", "filters": "CUSTOM"}],
             "customTemplatePath": str(bad),
         })
+
+
+def test_splitter_counters_count_each_row_once(spark):
+    """Inspect-stage counters must not double-count when both ports are
+    materialized (the flagged plan is persisted once counters attach)."""
+    from dlp_plugins_spark.operators.filter import split_sensitive
+    from dlp_plugins_spark.operators.redaction import StageCounters
+
+    df = spark.createDataFrame(
+        [(1, "mail alice@example.com"), (2, "clean"), (3, "also clean")],
+        "id long, text string")
+    c = StageCounters(spark)
+    res = split_sensitive(df, ["EMAIL_ADDRESS"], field="text", counters=c)
+    n_sens = res.sensitive.count()
+    n_clean = res.non_sensitive.count()
+    snap = c.snapshot()
+    assert (n_sens, n_clean) == (1, 2)
+    assert snap["rows_in"] == 3          # once per row, not per port
+    assert snap["rows_transformed"] == 1  # routed sensitive
+    assert snap["rows_errored"] == 0

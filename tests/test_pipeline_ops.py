@@ -354,3 +354,14 @@ def test_dedup_by_components_keeps_one_per_cluster(spark):
     kept = sorted(r.doc_id
                   for r in dedup_by_components(docs, pairs).collect())
     assert kept == [1, 10, 99]  # one per cluster + untouched singleton
+
+
+def test_connected_components_unconverged_raises(spark):
+    from dlp_plugins_spark.operators.dedup import connected_components
+
+    # path graph of diameter 5 cannot converge in 2 rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "a_id long, b_id long")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
