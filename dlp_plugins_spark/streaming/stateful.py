@@ -62,6 +62,95 @@ def streaming_first_seen(
     )
 
 
+def streaming_sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_sec: int = 1800,
+) -> DataFrame:
+    """Event-time session windows with a gap timeout — the streaming
+    twin of the batch ``sessionize_events`` query.
+
+    Input must already carry a watermark on ``ts_col``. Sessions split
+    on gaps > ``gap_sec``; a session is emitted exactly once, when it
+    CLOSES — either because a later in-batch event for the same key
+    already lies beyond its gap, or because the watermark passes
+    ``session_end + gap`` (EventTimeTimeout). State per key is one open
+    session (start, end, n, sum); at scale state shards by the groupBy
+    hash and the watermark bounds it to keys active within the horizon.
+    """
+    key_field = df.schema[key_col]
+    out_schema = T.StructType([
+        key_field,
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ])
+
+    def _emit(key, s, e, n, v):
+        return pd.DataFrame({
+            key_col: [key[0]],
+            "session_start": [pd.Timestamp(s, unit="us")],
+            "session_end": [pd.Timestamp(e, unit="us")],
+            "n_events": [int(n)],
+            "sum_value": [float(v)],
+        })
+
+    gap_us = gap_sec * 1_000_000
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            s, e, n, v = state.get
+            state.remove()
+            return iter((_emit(key, s, e, n, v),))
+        rows = [p for p in pdfs if len(p)]
+        if not rows:
+            return iter(())
+        ev = pd.concat(rows).sort_values(ts_col)
+        # normalize to MICROSECONDS regardless of the arriving resolution
+        # (Arrow batches surface as datetime64[ns] or [us] by version)
+        ts_us = ev[ts_col].astype("datetime64[us]").astype("int64")
+        vals = ev[value_col].astype("float64")
+        sessions = []  # (start_us, end_us, n, sum)
+        if state.exists:
+            cur = list(state.get)
+        else:
+            cur = None
+        for t, v in zip(ts_us, vals):
+            if cur is None:
+                cur = [int(t), int(t), 0, 0.0]
+            elif t - cur[1] > gap_us:
+                sessions.append(cur)
+                cur = [int(t), int(t), 0, 0.0]
+            cur[1] = max(cur[1], int(t))
+            cur[2] += 1
+            cur[3] += float(v)
+        closed = [_emit(key, *s) for s in sessions]
+        # the last session stays open in state; it closes when the
+        # watermark passes its end + gap (timeout must be strictly
+        # beyond the current watermark per the GroupState contract)
+        state.update(tuple(cur))
+        wm = state.getCurrentWatermarkMs()
+        timeout_ms = max(cur[1] // 1000 + gap_sec * 1000, wm + 1)
+        state.setTimeoutTimestamp(timeout_ms)
+        return iter(closed)
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=(
+                "start long, end long, n long, v double"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_lww_latest(
     df: DataFrame,
     key_cols: list[str],

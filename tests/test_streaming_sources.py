@@ -239,3 +239,67 @@ def test_streaming_windowed_counts_watermark(spark, tmp_path):
                             keys=["event_type"]).collect()
     by_hour = {r.window_start.hour: r.n for r in batch}
     assert by_hour[10] == 3 and by_hour[13] == 2
+
+
+def test_streaming_sessionize_event_time(spark, tmp_path):
+    """Event-time session windows close exactly once — either when a
+    later in-batch event lies beyond the gap, or when the watermark
+    passes session_end + gap. Stream results must equal the batch
+    sessionization of the same closed sessions."""
+    import os
+
+    import pandas as pd
+
+    from dlp_plugins_spark.streaming.stateful import streaming_sessionize
+
+    src = str(tmp_path / "sess_ev")
+    os.makedirs(src)
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ts(minutes):
+        return (t0 + pd.Timedelta(minutes=minutes)).to_pydatetime()
+
+    # batch 1: u1 has two sessions IN ONE BATCH (gap 30min exceeded);
+    # u2 one open session
+    spark.createDataFrame(
+        [("u1", ts(0), 1.0), ("u1", ts(10), 2.0),
+         ("u1", ts(60), 4.0),            # 50min gap -> new session
+         ("u2", ts(5), 8.0)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        .withWatermark("ts", "0 seconds")
+    )
+    out = streaming_sessionize(stream, gap_sec=1800)
+    q = (out.writeStream.format("memory").queryName("sessions")
+         .option("checkpointLocation", str(tmp_path / "ck_sess"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    # batch 2: far-future event advances the watermark past every open
+    # session's end+gap -> u1's second and u2's sessions time out closed
+    spark.createDataFrame(
+        [("u3", ts(600), 0.5)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.parquet(os.path.join(src, "b2"))
+    q.processAllAvailable()
+    # batch 3: another advance closes nothing new except u3's session
+    spark.createDataFrame(
+        [("u4", ts(1200), 0.25)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.parquet(os.path.join(src, "b3"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events,
+            r.sum_value)
+           for r in spark.sql("SELECT * FROM sessions").collect()}
+    expect = {
+        ("u1", ts(0), ts(10), 2, 3.0),
+        ("u1", ts(60), ts(60), 1, 4.0),
+        ("u2", ts(5), ts(5), 1, 8.0),
+        ("u3", ts(600), ts(600), 1, 0.5),
+    }
+    assert got == expect
