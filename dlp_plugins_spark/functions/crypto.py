@@ -398,3 +398,27 @@ def date_shift_days(
     span = upper - lower + 1
     h = hmac.new(key, b"dateshift:" + context_value.encode("utf-8"), hashlib.sha256)
     return lower + int.from_bytes(h.digest()[:8], "big") % span
+
+
+def date_shift_days_portable(
+    context_value: str, key: bytes, lower: int, upper: int
+) -> int:
+    """Keyed shift whose hash any SQL engine with ``sha256(VARCHAR)`` can
+    reproduce: ``lower + int(sha256(hex(key) || ':' || ctx)[:15hex]) % span``
+    (15 hex digits = 60 bits, fits BIGINT in both Spark and DuckDB via
+    ``('0x' || substr(sha256(s),1,15))::BIGINT``).
+
+    Unlike the HMAC default this mixes the key as a printable salt rather
+    than a MAC key — choose it (``hashMode: portable`` in the transform
+    properties) when cross-engine auditability of the shifted output
+    matters more than keyed-MAC hygiene. Same bounds rules as
+    :func:`date_shift_days`."""
+    if abs(lower) > 365250 or abs(upper) > 365250:
+        raise ValueError("date shift bounds must be within ±365250 days")
+    if lower > upper:
+        raise ValueError("lowerBoundDays must be <= upperBoundDays")
+    span = upper - lower + 1
+    digest = hashlib.sha256(
+        (key.hex() + ":" + context_value).encode("utf-8")
+    ).hexdigest()
+    return lower + int(digest[:15], 16) % span

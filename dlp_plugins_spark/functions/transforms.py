@@ -263,15 +263,23 @@ def date_shift(
     key: bytes, lower_bound_days: int, upper_bound_days: int,
     context_field: str | None = None,
     epoch_unit: str = "days",
+    hash_mode: str = "hmac",
 ) -> Kernel:
     """DATE_SHIFT, determinized (ref DateShiftTransformationConfig.java:31-91).
 
     Shift is keyed on the context column when configured (mirrors DLP's
     context-keyed shift) else constant per key — never random, so replay
     hashes reproduce. Integer columns are shifted in-place as epochs:
-    ``epoch_unit`` names what one tick means (days/seconds/millis/micros)."""
+    ``epoch_unit`` names what one tick means (days/seconds/millis/micros).
+    ``hash_mode``: 'hmac' (default, HMAC-SHA-256 keyed) or 'portable'
+    (sha256-of-salted-string — reproducible in any SQL engine, see
+    crypto.date_shift_days_portable)."""
+    if hash_mode not in ("hmac", "portable"):
+        raise ValueError(f"hashMode must be 'hmac' or 'portable', got {hash_mode!r}")
+    shift_of = (crypto.date_shift_days_portable if hash_mode == "portable"
+                else crypto.date_shift_days)
     # bounds validated eagerly, mirroring reference validate()
-    crypto.date_shift_days("", key, lower_bound_days, upper_bound_days)
+    shift_of("", key, lower_bound_days, upper_bound_days)
     if epoch_unit not in EPOCH_UNIT_TICKS_PER_DAY:
         raise ValueError(
             f"epochUnit must be one of {sorted(EPOCH_UNIT_TICKS_PER_DAY)}, "
@@ -281,21 +289,28 @@ def date_shift(
     def fn(values: pd.Series, ctx: pd.Series | None = None) -> pd.Series:
         if ctx is not None:
             days = ctx.astype("string").fillna("").map(
-                lambda c: crypto.date_shift_days(
+                lambda c: shift_of(
                     c, key, lower_bound_days, upper_bound_days
                 )
             ).astype("int64")
             days.index = values.index
         else:
-            days = crypto.date_shift_days(
+            days = shift_of(
                 "", key, lower_bound_days, upper_bound_days)
-        if pd.api.types.is_integer_dtype(values.dtype) or \
-                pd.api.types.is_float_dtype(values.dtype):
+        if pd.api.types.is_float_dtype(values.dtype):
+            # A NULLABLE int/bigint column whose Arrow batch contains a
+            # null arrives as float64+NaN. Adding in float64 would round
+            # to the float ulp for magnitudes beyond 2^53 (epoch-micros
+            # ~1.7e18 has a ~256-tick ulp) — so convert to pandas
+            # nullable Int64 and add in integer space; <NA> propagates
+            # and Arrow returns a nullable int. (Values that exceed 2^53
+            # AND sit off the float grid were already rounded by the
+            # Arrow->pandas float conversion itself — columns needing
+            # exactness there should be shifted without nulls present.)
+            iv = values.astype("Int64")
+            return iv + days * EPOCH_UNIT_TICKS_PER_DAY[epoch_unit]
+        if pd.api.types.is_integer_dtype(values.dtype):
             # epoch column: shift by whole days in the column's unit.
-            # Float also takes this path: a NULLABLE int/bigint column
-            # whose Arrow batch contains a null arrives as float64+NaN —
-            # the add propagates NaN and Arrow casts back to a nullable
-            # int on return.
             return values + days * EPOCH_UNIT_TICKS_PER_DAY[epoch_unit]
         delta = pd.to_timedelta(days, unit="D")
         if values.dtype == object:  # DateType arrives as datetime.date objects

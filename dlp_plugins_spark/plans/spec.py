@@ -291,6 +291,7 @@ class TransformPlan:
                 int(p.get("upperBoundDays", 0)),
                 context_field=ctx,
                 epoch_unit=p.get("epochUnit", "days"),
+                hash_mode=p.get("hashMode", "hmac"),
             )
         if e.transform == "FORMAT_PRESERVING_ENCRYPTION":
             return K.fpe(
