@@ -43,6 +43,25 @@ class SplitResult:
     sensitive: DataFrame
     non_sensitive: DataFrame
     errors: DataFrame  # quarantine port (on_error='error-port')
+    # the persisted flagged plan both ports consume (set only when
+    # counters are attached); callers in long-lived drivers should
+    # ``unpersist()`` once both ports are consumed, or the cache entry
+    # lives until LRU pressure evicts it
+    persisted: DataFrame | None = None
+
+    def unpersist(self) -> "SplitResult":
+        """Release the shared flagged-plan cache entry deterministically.
+        Idempotent; after this, re-running a port's action recomputes the
+        inspect UDF (and re-adds to any attached counters)."""
+        if self.persisted is not None:
+            self.persisted.unpersist()
+        return self
+
+    def __enter__(self) -> "SplitResult":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
 
 
 def sensitivity_predicate(filters: list[str],
@@ -183,13 +202,17 @@ def split_sensitive(
     flagged = flagged.withColumn(
         "_sensitive", F.when(~F.col("_over"), is_sensitive(target))
     )
+    persisted = None
     if counters is not None:
         # Both ports consume this same plan; without a persist each
         # port's action would re-run the inspect UDF and double every
         # counter. Persisting pins one evaluation per row (and also
-        # saves the second inspection pass). Caller owns the lifetime
-        # (Spark's LRU evicts; spark.catalog.clearCache() forces).
-        flagged = flagged.persist()
+        # saves the second inspection pass). The handle is exposed on
+        # SplitResult so callers can unpersist deterministically (or use
+        # the SplitResult as a context manager); note the counter
+        # guarantee is "once per row" only while the cache entry lives —
+        # an LRU eviction + recompute re-adds (StageCounters docstring).
+        flagged = persisted = flagged.persist()
     ok = flagged.filter(~F.col("_over"))
     sensitive = ok.filter(F.col("_sensitive")).drop("_sensitive", "_over")
     non_sensitive = ok.filter(~F.col("_sensitive")).drop("_sensitive", "_over")
@@ -197,7 +220,7 @@ def split_sensitive(
         errors = flagged.filter(F.col("_over")).drop("_sensitive", "_over")
     else:
         errors = df.limit(0)
-    return SplitResult(sensitive, non_sensitive, errors)
+    return SplitResult(sensitive, non_sensitive, errors, persisted=persisted)
 
 
 def count_findings(df: DataFrame, field: str, filters: list[str],

@@ -40,7 +40,12 @@ class StageCounters:
 
     Accumulators carry Spark's task-retry semantics (a retried task
     re-adds) — these are metrics, not bookkeeping; exactness lives in
-    the manifest."""
+    the manifest. The same caveat applies to cached plans that feed the
+    counters (split_sensitive persists its flagged plan): the "once per
+    row" guarantee holds only while the cache entry lives — an LRU
+    eviction followed by a recompute re-runs the inspect UDF and re-adds.
+    Callers needing exact counts should read them right after the
+    consuming action and unpersist via SplitResult.unpersist()."""
 
     def __init__(self, spark: SparkSession):
         sc = spark.sparkContext

@@ -27,34 +27,38 @@ def read_text(spark: SparkSession, path: str,
 
     ``offset_unit='bytes'`` (default): offset is the byte position of the
     line start within its file — the reference GCSFile text format's
-    semantics — computed as an exclusive running sum of
-    ``octet_length(body) + 1`` per file. Assumes ``\\n`` terminators
-    (Spark's text source strips the terminator, so ``\\r\\n`` inputs
-    would need +2). ``offset_unit='lines'``: 0-based line index.
+    semantics. Lines are split on ``\\n`` EXPLICITLY (``lineSep``), so a
+    CRLF file's ``\\r`` stays in the raw line, is counted in the running
+    byte sum, and is then stripped from the emitted ``body`` — byte
+    offsets are exact for LF, CRLF, and mixed files (classic-Mac lone-\\r
+    line endings are not supported: the whole file would be one line).
+    The final line of a file with no trailing newline still gets +1 in
+    the running sum, which is harmless — nothing follows it in that
+    file. ``offset_unit='lines'``: 0-based line index.
 
     ``with_file=True`` keeps the source file path column for multi-file
     reads (the reference's single-object reads don't need it)."""
     if offset_unit not in ("bytes", "lines"):
         raise ValueError(f"unknown offset_unit: {offset_unit!r}")
     raw = (
-        spark.read.text(path)
+        spark.read.option("lineSep", "\n").text(path)
         .select(
             F.input_file_name().alias("_file"),
             F.monotonically_increasing_id().alias("_mid"),
-            F.col("value").alias("body"),
+            F.col("value").alias("_raw"),
         )
     )
     w = Window.partitionBy("_file").orderBy("_mid")
     if offset_unit == "bytes":
         prev = w.rowsBetween(Window.unboundedPreceding, -1)
         off = F.coalesce(
-            F.sum(F.octet_length("body") + F.lit(1)).over(prev), F.lit(0)
+            F.sum(F.octet_length("_raw") + F.lit(1)).over(prev), F.lit(0)
         )
     else:
         off = F.row_number().over(w) - 1
     out = raw.select(
         off.cast("long").alias("offset"),
-        "body",
+        F.regexp_replace("_raw", "\r$", "").alias("body"),
         F.col("_file").alias("file"),
     )
     return out if with_file else out.select("offset", "body")

@@ -73,13 +73,26 @@ def streaming_sessionize(
     twin of the batch ``sessionize_events`` query.
 
     Input must already carry a watermark on ``ts_col``. Sessions split
-    on gaps > ``gap_sec``; a session is emitted exactly once, when it
-    CLOSES — either because a later in-batch event for the same key
-    already lies beyond its gap, or because the watermark passes
-    ``session_end + gap`` (EventTimeTimeout). State per key is one open
-    session (start, end, n, sum); at scale state shards by the groupBy
-    hash and the watermark bounds it to keys active within the horizon.
+    on gaps > ``gap_sec``; a session is emitted exactly once, when the
+    watermark passes ``session_end + gap`` (EventTimeTimeout) — only
+    then can no in-watermark straggler extend or merge it, so
+    OUT-OF-ORDER events within the watermark are handled exactly like
+    Spark's native ``session_window``: a late event may lower an open
+    session's start, bridge two buffered sessions into one, or open its
+    own earlier session. State per key is the LIST of open (not yet
+    watermark-expired) sessions, JSON-encoded — bounded by the watermark
+    horizon / gap, typically 1-2 entries.
+
+    In-batch splitting is fully vectorized (numpy sort + gap-diff +
+    ``reduceat`` segment aggregation); Python touches only the per-key
+    open-session splice, so the stage cost scales with session count,
+    not per-key event count (hot keys stream thousands of events per
+    micro-batch through the numpy path).
     """
+    import json
+
+    import numpy as np
+
     key_field = df.schema[key_col]
     out_schema = T.StructType([
         key_field,
@@ -89,62 +102,85 @@ def streaming_sessionize(
         T.StructField("sum_value", T.DoubleType()),
     ])
 
-    def _emit(key, s, e, n, v):
-        return pd.DataFrame({
-            key_col: [key[0]],
-            "session_start": [pd.Timestamp(s, unit="us")],
-            "session_end": [pd.Timestamp(e, unit="us")],
-            "n_events": [int(n)],
-            "sum_value": [float(v)],
-        })
-
     gap_us = gap_sec * 1_000_000
 
-    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        if state.hasTimedOut:
-            s, e, n, v = state.get
+    def _emit_df(key, sess: list):
+        return pd.DataFrame({
+            key_col: [key[0]] * len(sess),
+            "session_start": pd.to_datetime([s[0] for s in sess], unit="us"),
+            "session_end": pd.to_datetime([s[1] for s in sess], unit="us"),
+            "n_events": pd.array([int(s[2]) for s in sess], dtype="int64"),
+            "sum_value": pd.array([float(s[3]) for s in sess],
+                                  dtype="float64"),
+        })
+
+    def _merge(sessions: list) -> list:
+        """Interval-merge session summaries sorted by start: adjacent
+        sessions whose gap is <= gap_us collapse (sums add)."""
+        sessions.sort(key=lambda s: (s[0], s[1]))
+        out: list = []
+        for s in sessions:
+            if out and s[0] - out[-1][1] <= gap_us:
+                last = out[-1]
+                last[1] = max(last[1], s[1])
+                last[2] += s[2]
+                last[3] += s[3]
+                last[0] = min(last[0], s[0])
+            else:
+                out.append(list(s))
+        return out
+
+    def _split_emit(key, sessions: list, state: GroupState):
+        """Emit sessions no in-watermark event can still touch; buffer
+        the rest in state with a timeout at the earliest close point."""
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed = [s for s in sessions if s[1] + gap_us <= wm_us]
+        open_ = [s for s in sessions if s[1] + gap_us > wm_us]
+        if open_:
+            state.update((json.dumps(open_),))
+            timeout_ms = max(
+                min(s[1] + gap_us for s in open_) // 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(timeout_ms)
+        elif state.exists:
             state.remove()
-            return iter((_emit(key, s, e, n, v),))
+        return iter((_emit_df(key, closed),)) if closed else iter(())
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        buffered = json.loads(state.get[0]) if state.exists else []
+        if state.hasTimedOut:
+            return _split_emit(key, buffered, state)
         rows = [p for p in pdfs if len(p)]
         if not rows:
             return iter(())
-        ev = pd.concat(rows).sort_values(ts_col)
+        ev = pd.concat(rows) if len(rows) > 1 else rows[0]
         # normalize to MICROSECONDS regardless of the arriving resolution
         # (Arrow batches surface as datetime64[ns] or [us] by version)
-        ts_us = ev[ts_col].astype("datetime64[us]").astype("int64")
-        vals = ev[value_col].astype("float64")
-        sessions = []  # (start_us, end_us, n, sum)
-        if state.exists:
-            cur = list(state.get)
-        else:
-            cur = None
-        for t, v in zip(ts_us, vals):
-            if cur is None:
-                cur = [int(t), int(t), 0, 0.0]
-            elif t - cur[1] > gap_us:
-                sessions.append(cur)
-                cur = [int(t), int(t), 0, 0.0]
-            cur[1] = max(cur[1], int(t))
-            cur[2] += 1
-            cur[3] += float(v)
-        closed = [_emit(key, *s) for s in sessions]
-        # the last session stays open in state; it closes when the
-        # watermark passes its end + gap (timeout must be strictly
-        # beyond the current watermark per the GroupState contract)
-        state.update(tuple(cur))
-        wm = state.getCurrentWatermarkMs()
-        timeout_ms = max(cur[1] // 1000 + gap_sec * 1000, wm + 1)
-        state.setTimeoutTimestamp(timeout_ms)
-        return iter(closed)
+        ts_us = ev[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        vals = ev[value_col].to_numpy().astype("float64")
+        order = np.argsort(ts_us, kind="stable")
+        ts_s, vals_s = ts_us[order], vals[order]
+        brk = np.empty(len(ts_s), dtype=bool)
+        brk[0] = True
+        brk[1:] = np.diff(ts_s) > gap_us
+        seg = np.flatnonzero(brk)
+        starts = ts_s[seg]
+        ends = ts_s[np.append(seg[1:], len(ts_s)) - 1]
+        ns = np.diff(np.append(seg, len(ts_s)))
+        vsums = np.add.reduceat(vals_s, seg)
+        batch_sessions = [
+            [int(s), int(e), int(n), float(v)]
+            for s, e, n, v in zip(starts, ends, ns, vsums)
+        ]
+        return _split_emit(key, _merge(buffered + batch_sessions), state)
 
     return (
         df.groupBy(key_col)
         .applyInPandasWithState(
             fn,
             outputStructType=out_schema,
-            stateStructType=(
-                "start long, end long, n long, v double"
-            ),
+            stateStructType="sessions string",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

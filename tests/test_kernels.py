@@ -231,3 +231,45 @@ def test_date_shift_epoch_nullable_float_arrival():
     out = K.date_shift(KEY, -5, 5, epoch_unit="days")(vals)
     assert out[0] == 18000.0 + d and out[2] == float(d)
     assert pd.isna(out[1])
+
+
+def test_date_shift_epoch_nullable_large_magnitude_exact():
+    """Epoch-micros magnitudes beyond 2^53 must shift EXACTLY even when
+    nulls force float64 arrival: the kernel adds in nullable-Int64 space,
+    so the shift cannot round to the float ulp (~hundreds of micros at
+    1.7e18). The base value is a float-representable integer (multiple
+    of 256), so only the ADD could lose precision — which is the bug
+    being regressed."""
+    from dlp_plugins_spark.functions.crypto import date_shift_days
+
+    d = date_shift_days("", KEY, 1, 40)
+    base = 1_700_000_000_000_000_000  # > 2^53, multiple of 256 -> exact f64
+    vals = pd.Series([float(base), float("nan")], dtype="float64")
+    out = K.date_shift(KEY, 1, 40, epoch_unit="micros")(vals)
+    expect = base + d * 86_400_000_000
+    assert out.dtype == "Int64"
+    assert int(out[0]) == expect  # float64 add would round this
+    assert pd.isna(out[1])
+
+
+def test_date_shift_portable_hash_mode():
+    """hashMode=portable: the shift must equal the documented
+    sha256-of-salted-string formula (the one SQL engines replicate),
+    stay within bounds, and differ per context."""
+    import hashlib
+
+    from dlp_plugins_spark.functions.crypto import date_shift_days_portable
+
+    lo, hi = 10, 120
+    for ctx in ["", "u1", "12345"]:
+        d = date_shift_days_portable(ctx, KEY, lo, hi)
+        manual = lo + int(hashlib.sha256(
+            (KEY.hex() + ":" + ctx).encode()).hexdigest()[:15], 16) % (hi - lo + 1)
+        assert d == manual and lo <= d <= hi
+    ts = pd.Series(pd.to_datetime(["2020-01-01", "2020-01-01"]))
+    ctx = pd.Series(["u1", "u2"])
+    out = K.date_shift(KEY, lo, hi, hash_mode="portable")(ts, ctx)
+    days = (out - ts).dt.days
+    assert days[0] != days[1]  # context-keyed
+    with pytest.raises(ValueError):
+        K.date_shift(KEY, lo, hi, hash_mode="xor")

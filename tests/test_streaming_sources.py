@@ -97,6 +97,26 @@ def test_read_text_offsets(spark, tmp_path):
         (0, "alpha"), (1, "béta"), (2, "gamma"), (3, "делта")]
 
 
+def test_read_text_offsets_crlf_and_mixed(spark, tmp_path):
+    """CRLF terminators must not drift the byte offsets: the \\r is
+    counted in the running sum but stripped from body. Mixed LF/CRLF and
+    a final line with no terminator also match tell() ground truth."""
+    p = tmp_path / "crlf.txt"
+    data = b"one\r\ntwo\r\nmixed\nlast"  # CRLF, CRLF, LF, unterminated
+    p.write_bytes(data)
+    truth = []
+    with open(p, "rb") as f:
+        pos = f.tell()
+        for line in iter(f.readline, b""):
+            truth.append(
+                (pos, line.rstrip(b"\n").rstrip(b"\r").decode("utf-8"))
+            )
+            pos = f.tell()
+    out = read_text(spark, str(p)).orderBy("offset").collect()
+    assert [(r.offset, r.body) for r in out] == truth
+    assert truth[1][0] == 5 and truth[2][0] == 10  # CRLF = 2 bytes each
+
+
 def test_write_json_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
     target = write_json(df, str(tmp_path / "out"), suffix="2020-01-01")
@@ -301,5 +321,72 @@ def test_streaming_sessionize_event_time(spark, tmp_path):
         ("u1", ts(60), ts(60), 1, 4.0),
         ("u2", ts(5), ts(5), 1, 8.0),
         ("u3", ts(600), ts(600), 1, 0.5),
+    }
+    assert got == expect
+
+
+def test_streaming_sessionize_out_of_order_within_watermark(spark, tmp_path):
+    """In-watermark out-of-order arrivals must behave like the batch
+    sessionization of the union of all events: a late event can lower an
+    open session's start, BRIDGE two buffered sessions into one, or open
+    its own EARLIER session more than a gap before the buffered one.
+    (Regression for the forward-only split that folded every late event
+    into the open session without re-splitting.)"""
+    import os
+
+    import pandas as pd
+
+    from dlp_plugins_spark.streaming.stateful import streaming_sessionize
+
+    src = str(tmp_path / "sess_ooo")
+    os.makedirs(src)
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ts(minutes):
+        return (t0 + pd.Timedelta(minutes=minutes)).to_pydatetime()
+
+    # batch 1 (watermark delay 3h, gap 30min):
+    #   u1: one event at 300
+    #   u2: two sessions at 200 and 260 (60min apart > gap)
+    spark.createDataFrame(
+        [("u1", ts(300), 1.0), ("u2", ts(200), 1.0), ("u2", ts(260), 2.0)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        .withWatermark("ts", "3 hours")
+    )
+    out = streaming_sessionize(stream, gap_sec=1800)
+    q = (out.writeStream.format("memory").queryName("sessions_ooo")
+         .option("checkpointLocation", str(tmp_path / "ck_sess_ooo"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    # batch 2 — all late but inside the 3h watermark (wm = 120min):
+    #   u1 at 130: >gap BEFORE the open session's start (300) -> opens
+    #      its own earlier session; u1 at 125 merges into it
+    #   u2 at 230: bridges the 200 and 260 sessions into ONE
+    spark.createDataFrame(
+        [("u1", ts(130), 2.0), ("u1", ts(125), 4.0), ("u2", ts(230), 3.0)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.parquet(os.path.join(src, "b2"))
+    q.processAllAvailable()
+    # batch 3: far-future event pushes the watermark past every open
+    # session's end+gap -> all u1/u2 sessions time out closed
+    spark.createDataFrame(
+        [("u9", ts(3000), 0.5)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.parquet(os.path.join(src, "b3"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events,
+            r.sum_value)
+           for r in spark.sql("SELECT * FROM sessions_ooo").collect()}
+    expect = {
+        ("u1", ts(125), ts(130), 2, 6.0),   # late events formed this
+        ("u1", ts(300), ts(300), 1, 1.0),
+        ("u2", ts(200), ts(260), 3, 6.0),   # bridged by the 230 event
     }
     assert got == expect
