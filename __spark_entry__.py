@@ -1261,30 +1261,36 @@ FROM events
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: synthetic opaque binary payloads ->
-    Arrow-batched feature extraction (decode step is the deterministic
-    fake; real codecs are stubbed, see operators/multimodal.py).
-    Oracle-attestable: payload sizes, fake-decode dims, and digest shape
-    are all closed-form in media_id (sha256-of-blob itself has no DuckDB
-    equivalent — byte-exactness vs hashlib is tests/test_pipeline_ops)."""
+    """Multimodal feature extraction over a REAL codec path: payloads
+    are genuine 24-bit BMP containers (hand-rolled pure-Python encoder/
+    decoder from the public format spec, operators/multimodal.py) whose
+    decoded dimensions and container size are closed-form in media_id —
+    the oracle recomputes them from the BMP layout formula (54-byte
+    header + 4-byte-padded BGR rows), so a mis-parse is a driver red.
+    Pixel-level decode exactness (encode->decode round-trip) and the WAV
+    audio path are tests/test_pipeline_ops.py; the deterministic-fake
+    branch for compressed formats stays for plumbing tests."""
     from dlp_plugins_spark.operators.multimodal import (
-        extract_features, synth_media_df,
+        extract_features, synth_media_real_df,
     )
 
-    media = synth_media_df(spark, n=256)
-    return extract_features(media, fake_decode=True).select(
+    media = synth_media_real_df(spark, n=256).filter(F.col("kind") == "image")
+    return extract_features(media, fake_decode=False).select(
         "media_id", "n_bytes", "width", "height",
         F.col("sha256").rlike("^[0-9a-f]{64}$").alias("sha_ok"),
     )
 
 
 SQL_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT media_id, 4 + media_id % 5 AS w, 3 + media_id % 4 AS h
+  FROM range(0, 256) t(media_id) WHERE media_id % 3 <> 0)
 SELECT media_id,
-       CAST(32 * (4 + media_id % 4) AS INT) AS n_bytes,
-       CAST(8 AS INT) AS width,
-       CAST(8 AS INT) AS height,
+       CAST(54 + h * (((3 * w + 3) // 4) * 4) AS INT) AS n_bytes,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
        true AS sha_ok
-FROM range(0, 256) t(media_id)
+FROM m
 """
 
 

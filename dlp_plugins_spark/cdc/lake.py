@@ -160,7 +160,15 @@ class LakeTable:
         return os.path.join(self.path, SNAPSHOT_DIR, f"snapshot-{sid:08d}.json")
 
     def _n_shards(self) -> int:
-        return max(1, min(16, self.n_buckets))
+        # Shard count scales with the layout so ONE shard never covers
+        # more than ~64 buckets: commit bytes stay ∝ touched buckets even
+        # on 10^5-bucket tables (16 fixed shards would make every shard
+        # list thousands of buckets' files, and each touched bucket would
+        # rewrite 1/16th of the whole manifest). Small layouts keep one
+        # shard per bucket up to 16. Pure function of n_buckets (a table
+        # property), so every writer derives the same sharding.
+        return max(1, min(self.n_buckets,
+                          max(16, -(-self.n_buckets // 64))))
 
     def _shard_of(self, bucket: int) -> int:
         # contiguous bucket-range sharding

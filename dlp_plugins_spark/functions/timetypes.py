@@ -1,0 +1,100 @@
+"""Time-of-day logical types (TIME_MILLIS / TIME_MICROS).
+
+The reference converts Avro-style time-of-day logical types between
+StructuredRecord and DLP ``TimeValue`` (Utils.java:225-262 record→Value,
+:84-115 Value→record). Plain Spark has no time-of-day type that travels
+through Arrow, so per SURVEY.md §1.2 the engine maps both to
+**micros-of-day LongType** with the logical type declared in the
+StructField metadata:
+
+    StructField("t", LongType(), metadata={"logicalType": "TIME_MICROS"})
+    StructField("t", IntegerType(), metadata={"logicalType": "TIME_MILLIS"})
+
+``canonical micros-of-day`` is the engine-wide wire form (0 .. 86.4e9);
+``as_micros_of_day`` normalizes a declared column to it, and
+``time_of_day_str`` renders the reference's HH:mm:ss.SSSSSS display form
+(what the reference's TimeValue carries as h/m/s/nanos). Value
+transforms are STRING-only in the reference, so TIME_* columns are
+PASS-THROUGH for every transform; DATE_SHIFT explicitly rejects them —
+the reference widget's DATE_SHIFT type list is date / timestamp-micros /
+timestamp-millis (widgets/SensitiveRecordRedaction-transform.json:
+328-332), never time-of-day, and shifting a time by days is meaningless.
+
+Reference epoch-0 parse quirk (Utils.java:97-99): when a timestamp
+Value's epoch converts to exactly 0, the reference re-parses the DLP
+string payload as ``yyyy-MM-dd'T'HH:mm'Z'`` — a workaround for the RPC
+occasionally returning string-typed timestamps. The engine has no RPC
+boundary and its temporal values never round-trip through strings, so
+the quirk is a documented divergence (SURVEY.md §1.2), not replicated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F, types as T
+
+TIME_MILLIS = "TIME_MILLIS"
+TIME_MICROS = "TIME_MICROS"
+_TIME_LOGICAL = (TIME_MILLIS, TIME_MICROS)
+
+MICROS_PER_DAY = 86_400_000_000
+
+
+def time_field(name: str, logical: str = TIME_MICROS,
+               nullable: bool = True) -> T.StructField:
+    """Declare a time-of-day column: TIME_MICROS -> LongType,
+    TIME_MILLIS -> IntegerType (both counts since midnight), with the
+    logical type recorded in field metadata."""
+    if logical not in _TIME_LOGICAL:
+        raise ValueError(f"unknown time logical type: {logical!r}")
+    dtype = T.LongType() if logical == TIME_MICROS else T.IntegerType()
+    return T.StructField(name, dtype, nullable,
+                         metadata={"logicalType": logical})
+
+
+def logical_type_of(field: T.StructField) -> str | None:
+    """The declared logical type of a field, if any."""
+    md = field.metadata or {}
+    return md.get("logicalType")
+
+
+def is_time_field(field: T.StructField) -> bool:
+    return logical_type_of(field) in _TIME_LOGICAL
+
+
+def as_micros_of_day(col, logical: str) -> Column:
+    """Normalize a declared TIME_* column to canonical micros-of-day
+    (LongType) — the engine's wire form for time values, mirroring the
+    reference's TimeValue construction (Utils.java:231-247 converts
+    millis/micros-of-day into h/m/s/nanos)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if logical == TIME_MICROS:
+        return c.cast("long")
+    if logical == TIME_MILLIS:
+        return (c.cast("long") * F.lit(1000)).cast("long")
+    raise ValueError(f"unknown time logical type: {logical!r}")
+
+
+def time_of_day_str(micros_col) -> Column:
+    """micros-of-day -> 'HH:mm:ss.SSSSSS' (the reference TimeValue's
+    h/m/s/nanos fields rendered as text) — JVM-side expressions only."""
+    c = F.col(micros_col) if isinstance(micros_col, str) else micros_col
+    c = c.cast("long")
+    hh = F.lpad((c / 3_600_000_000).cast("long").cast("string"), 2, "0")
+    mm = F.lpad(((c / 60_000_000) % 60).cast("long").cast("string"), 2, "0")
+    ss = F.lpad(((c / 1_000_000) % 60).cast("long").cast("string"), 2, "0")
+    us = F.lpad((c % 1_000_000).cast("string"), 6, "0")
+    return F.concat_ws("", hh, F.lit(":"), mm, F.lit(":"), ss,
+                       F.lit("."), us)
+
+
+def normalize_time_columns(df, schema: T.StructType | None = None):
+    """Rewrite every declared TIME_MILLIS column of ``df`` to canonical
+    micros-of-day longs (TIME_MICROS passes through). Returns the
+    normalized DataFrame; metadata is preserved on unrelated columns."""
+    schema = schema or df.schema
+    out = df
+    for f in schema.fields:
+        lt = logical_type_of(f)
+        if lt == TIME_MILLIS:
+            out = out.withColumn(f.name, as_micros_of_day(f.name, lt))
+    return out

@@ -364,18 +364,22 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     transitive closure — a chain a~b~c is one cluster even though (a,c)
     was never a candidate pair.
 
-    Algorithm: min-label propagation. Each round every node takes the
-    min of its own label and its neighbors' labels — one join + one
-    map-side-combinable min aggregation per round, converging in
-    O(graph diameter) rounds. Near-dup graphs are clique-ish (diameter
-    2-4), so this beats the constant-factor-heavy large-star/small-star
-    alternation at this workload; pathological long chains would argue
-    for star contraction instead. Scale notes:
+    Algorithm: min-label propagation + POINTER JUMPING. Each round every
+    node takes (1) the min of its own label and its neighbors' labels
+    (one join + one map-side-combinable min aggregation), then (2) the
+    label OF its label (a self-join shortcut, Shiloach-Vishkin style).
+    Propagation alone converges in O(diameter) rounds — fine for
+    clique-ish near-dup graphs (diameter 2-4) but fatal for templated-
+    corpus chains; the jump step squares the reach each round, so any
+    graph converges in O(log diameter) rounds: max_iter=25 covers
+    diameters up to ~2^25. Correctness is anchored by the propagation
+    fixpoint (at convergence every edge sees equal labels; jumping only
+    accelerates monotone descent toward the component min). Scale notes:
     - ``localCheckpoint`` each round truncates the lineage — without it
       the plan doubles every iteration and the driver dies planning
       round ~15;
-    - convergence check rides the SAME job as the propagation via a
-      changed-count aggregate, so each round is exactly one action."""
+    - convergence check rides the SAME action as the round via a
+      changed-count aggregate (counting both steps' changes)."""
     edges = pairs.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     edges = edges.union(
@@ -391,7 +395,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src").agg(F.min("comp").alias("_nbr"))
         )
-        new = (
+        prop = (
             labels.join(nbr, labels.id == nbr.src, "left")
             .select(
                 F.col("id"),
@@ -400,6 +404,22 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                 ).alias("comp"),
                 (F.coalesce(F.col("_nbr"), F.col("comp"))
                  < F.col("comp")).cast("long").alias("_chg"),
+            )
+        )
+        # pointer jump: comp <- min(comp, comp(comp)) — labels are node
+        # ids, so a node's label's label is reachable and <= its label
+        parent = prop.select(F.col("id").alias("_pid"),
+                             F.col("comp").alias("_pcomp"))
+        new = (
+            prop.join(parent, prop.comp == parent._pid, "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_pcomp"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("_chg")
+                 + (F.coalesce(F.col("_pcomp"), F.col("comp"))
+                    < F.col("comp")).cast("long")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
@@ -410,11 +430,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     else:
         # Silent wrong answers are worse than a loud stop: an
         # unconverged label set would make dedup keep several
-        # "representatives" from one duplicate cluster.
+        # "representatives" from one duplicate cluster. With pointer
+        # jumping this needs diameter > 2^max_iter — structurally
+        # impossible for any real corpus; kept as an invariant check.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(graph diameter exceeds max_iter — raise it, or use star "
-            "contraction for long-chain graphs)"
+            "(diameter > 2^max_iter should be impossible — raise max_iter "
+            "or inspect the edge list for label cycles)"
         )
     return labels.select("id", F.col("comp").alias("component"))
 

@@ -2,11 +2,15 @@
 with typed metadata, processed by Arrow-batched mapInPandas kernels.
 
 The Spark-side machinery (schemas, batch shapes, partition sizing, UDF
-signatures) is REAL and tested; the codec step is a deterministic stub —
-the container ships no image/audio libraries, so `decode_image` et al.
-raise `NotImplementedError` unless `fake=True`, in which case a
-deterministic synthesizer stands in (so pipelines and tests exercise the
-full plumbing end-to-end).
+signatures) is REAL and tested. Codecs: uncompressed containers decode
+FOR REAL with pure-Python/stdlib code — BMP 24-bit BI_RGB
+(`decode_bmp`/`encode_bmp`, hand-rolled from the public format spec) and
+WAV PCM16 (`decode_wav`/`encode_wav`, stdlib ``wave``). Compressed
+formats (PNG/JPEG/MP3/H.264) need native libraries this container does
+not ship, so `decode_image` falls back to `NotImplementedError` for
+them unless `fake=True`, in which case a deterministic synthesizer
+stands in (so pipelines and tests exercise the full plumbing
+end-to-end regardless of payload format).
 
 Scale notes baked into the design:
 - binary payloads ride the SAME DataFrame as metadata — no side-channel
@@ -72,16 +76,146 @@ def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=IMAGE_SCHEMA)
 
 
+def synth_media_real_df(spark, n: int = 64) -> DataFrame:
+    """Deterministic media table whose payloads are REAL containers:
+    images are 24-bit BMPs (width = 4 + id%5, height = 3 + id%4, pixel
+    (y,x,c) = (x + 2y + 3c + id) % 256) and audio rows are PCM16 WAVs
+    (8 + id%8 samples of a deterministic ramp at 16 kHz) — every field
+    of the decoded output is closed-form in media_id, so feature
+    extraction over a REAL decode is oracle-checkable."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            kinds, mimes, payloads = [], [], []
+            for i in ids:
+                i = int(i)
+                if i % 3:
+                    w, h = 4 + i % 5, 3 + i % 4
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = np.stack(
+                        [(xx + 2 * yy + 3 * c + i) % 256 for c in range(3)],
+                        axis=2,
+                    ).astype(np.uint8)
+                    kinds.append("image")
+                    mimes.append("image/bmp")
+                    payloads.append(encode_bmp(img))
+                else:
+                    ns = 8 + i % 8
+                    samples = (np.arange(ns, dtype=np.int64) * 257 + i) % 4096
+                    kinds.append("audio")
+                    mimes.append("audio/wav")
+                    payloads.append(encode_wav(samples.astype(np.int16)))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": kinds,
+                "mime": mimes,
+                "payload": payloads,
+                "meta": [{"source": f"synth-{int(i) % 7}"} for i in ids],
+            })
+
+    return spark.range(n).mapInPandas(gen, schema=IMAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real codecs — uncompressed containers, pure Python / stdlib only
+# ---------------------------------------------------------------------------
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> 24-bit uncompressed BMP (BI_RGB, bottom-up
+    rows, 4-byte row padding). Public Windows BITMAPINFOHEADER layout."""
+    import struct
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_bmp expects HxWx3 uint8")
+    h, w = arr.shape[:2]
+    row_size = (3 * w + 3) // 4 * 4
+    img_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    pad = b"\x00" * (row_size - 3 * w)
+    for y in range(h - 1, -1, -1):          # bottom-up
+        rows += arr[y, :, ::-1].tobytes()   # RGB -> BGR
+        rows += pad
+    return header + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> HxWx3 uint8 RGB. Supports the
+    bottom-up and top-down (negative height) row orders; rejects
+    anything compressed or non-24-bit loudly."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row_size = (3 * w + 3) // 4 * 4
+    if len(payload) < data_off + row_size * h:
+        raise ValueError("truncated BMP payload")
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=row_size * h, offset=data_off)
+    rows = raw.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]                  # BGR -> RGB
+    return rgb if top_down else rgb[::-1]
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Mono int16 PCM samples -> RIFF/WAVE bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    samples = np.asarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 bytes -> (sample_rate, int16 samples). Multi-
+    channel audio comes back interleaved-flattened (callers reshape by
+    ``getnchannels`` if they need planar)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only PCM16 WAV supported")
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    return rate, np.frombuffer(frames, dtype=np.int16)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to HxWx3 uint8.
 
-    STUB: no codec libraries in this container. ``fake=True`` returns a
-    deterministic 8x8 synthetic derived from the payload hash, keeping
-    shapes/types contract-true for the plumbing tests."""
+    BMP payloads (magic ``BM``) decode FOR REAL via :func:`decode_bmp`.
+    Compressed formats need native codec libraries this container does
+    not ship — they raise `NotImplementedError` unless ``fake=True``,
+    which returns a deterministic 8x8 synthetic derived from the payload
+    hash (keeps shapes/types contract-true for plumbing tests)."""
+    if payload is not None and payload[:2] == b"BM":
+        return decode_bmp(payload)
     if not fake:
         raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True "
-            "or wire Pillow/libvips here in a full deployment"
+            "no native codec for this payload format in this environment; "
+            "BMP decodes for real — wire Pillow/libvips here for "
+            "PNG/JPEG in a full deployment, or pass fake=True"
         )
     h = hashlib.sha256(payload or b"").digest()
     base = np.frombuffer((h * 6)[:192], dtype=np.uint8)
@@ -142,6 +276,41 @@ def sample_frames(df: DataFrame, every_n: int = 2,
 
     return df.select("media_id", "payload").mapInPandas(
         kernel, schema=FRAME_SCHEMA
+    )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_samples", T.IntegerType(), True),
+    T.StructField("duration_ms", T.DoubleType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+])
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """WAV rows -> (rate, sample count, duration, RMS) via the REAL
+    stdlib decoder — same blobs-cross-once shape as extract_features."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, None, None, None, None))
+                    continue
+                rate, samples = decode_wav(bytes(payload))
+                rows.append((
+                    mid, rate, len(samples),
+                    len(samples) * 1000.0 / rate,
+                    float(np.sqrt(np.mean(samples.astype("f8") ** 2)))
+                    if len(samples) else 0.0,
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, schema=AUDIO_FEATURE_SCHEMA
     )
 
 

@@ -233,6 +233,81 @@ def train_ivf_centroids(
     return cents
 
 
+def train_ivf_centroids_distributed(
+    df: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL corpus — the scale path
+    when ``n_lists`` outgrows what a driver-side sample can seed (the
+    sample trainer needs sample_rows >= n_lists; at 100 TB with
+    n_lists ~ sqrt(N) that sample stops being representative).
+
+    Per iteration: one ``mapInPandas`` pass emits per-partition partial
+    sums (k x dim matrix + counts, map-side combined in numpy), then a
+    groupBy over exploded components reduces k*dim rows — shuffle width
+    is O(partitions * k * dim), never O(rows). Centroids ride the UDF
+    closure (broadcast-small). Init is deterministic: the n_lists
+    vectors with the smallest seeded xxhash64. Cross-run float sums can
+    differ in final ULPs (Spark combine order); assignment quality is
+    unaffected — use the sample trainer when bit-stable centroids
+    matter."""
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    seeds = (
+        vecs.withColumn(
+            "_h", F.xxhash64(F.col("_v").cast("string"), F.lit(seed)))
+        .orderBy("_h").limit(n_lists).toPandas()
+    )
+    if len(seeds) < n_lists:
+        raise ValueError(
+            f"corpus has only {len(seeds)} vectors; cannot train "
+            f"{n_lists} lists"
+        )
+    cents = np.stack(seeds["_v"].to_numpy()).astype(np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        b = cents
+
+        def partials(batches):
+            # per-partition map-side combine: (k, dim+1) — last slot is
+            # the member count, so ONE reduce job covers sums and counts
+            S = np.zeros((n_lists, dim + 1))
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                m /= np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                a = (m @ b.T).argmax(axis=1)
+                np.add.at(S[:, :dim], a, m)
+                S[:, dim] += np.bincount(a, minlength=n_lists)
+            if seen:
+                yield pd.DataFrame({
+                    "list_id": np.arange(n_lists, dtype="i4"),
+                    "vsum": list(S),
+                })
+
+        part = vecs.mapInPandas(
+            partials, schema="list_id int, vsum array<double>")
+        agg = (
+            part.select("list_id", F.posexplode("vsum").alias("_pos", "_val"))
+            .groupBy("list_id", "_pos").agg(F.sum("_val").alias("_s"))
+        ).toPandas()
+        mat = np.zeros((n_lists, dim + 1))
+        mat[agg["list_id"].to_numpy(), agg["_pos"].to_numpy()] = \
+            agg["_s"].to_numpy()
+        for li in range(n_lists):
+            if mat[li, dim] > 0:  # empty list keeps its previous centroid
+                cents[li] = mat[li, :dim] / max(
+                    np.linalg.norm(mat[li, :dim]), 1e-12)
+    return cents
+
+
 def add_ivf_list(
     df: DataFrame,
     centroids: np.ndarray,
@@ -266,14 +341,25 @@ def ivf_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    train: str = "sample",
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned into n_lists inverted
     lists by nearest centroid; each query probes its n_probe nearest
     lists and exact-reranks only those vectors. Scan cost drops to
     ~n_probe/n_lists of the corpus — the complementary scale path to
-    SRP-LSH (IVF adapts to data distribution; LSH needs no training)."""
-    cents = centroids if centroids is not None else train_ivf_centroids(
-        df, dim, n_lists, vec_col, seed=seed)
+    SRP-LSH (IVF adapts to data distribution; LSH needs no training).
+    ``train='sample'`` (default, bit-stable driver-side k-means on a
+    4k sample — fine while n_lists << sample) or ``'distributed'``
+    (full-corpus k-means||-style Lloyd for large n_lists)."""
+    if train not in ("sample", "distributed"):
+        raise ValueError(f"train must be 'sample' or 'distributed', got {train!r}")
+    if centroids is not None:
+        cents = centroids
+    elif train == "distributed":
+        cents = train_ivf_centroids_distributed(
+            df, dim, n_lists, vec_col, seed=seed)
+    else:
+        cents = train_ivf_centroids(df, dim, n_lists, vec_col, seed=seed)
     corpus = add_ivf_list(df, cents, vec_col, "_ivf").select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec"),
         "_ivf",

@@ -200,6 +200,24 @@ class TransformPlan:
                         f"{where}: field {fname!r} has type {st}, "
                         f"supported: {ok_types}"
                     )
+                elif e.transform == "DATE_SHIFT":
+                    # TIME_MILLIS/TIME_MICROS are int/long PHYSICALLY but
+                    # time-of-day LOGICALLY (functions/timetypes.py) —
+                    # the reference's DATE_SHIFT widget accepts date /
+                    # timestamp-micros / timestamp-millis only
+                    # (SensitiveRecordRedaction-transform.json:328-332);
+                    # shifting a time-of-day by days is meaningless.
+                    from dlp_plugins_spark.functions.timetypes import (
+                        is_time_field,
+                    )
+
+                    if is_time_field(schema[fname]):
+                        errors.append(
+                            f"{where}: field {fname!r} is a time-of-day "
+                            "logical type (TIME_MILLIS/TIME_MICROS) — "
+                            "DATE_SHIFT applies to date/timestamp/epoch "
+                            "columns only"
+                        )
                 # ref DLPTransformPluginConfig.java:182-199 —
                 # unique (field, filter) -> transform
                 for filt in e.filters:

@@ -806,3 +806,64 @@ def test_rollback_across_rebucket_restores_layout(spark, tmp_path):
     got = spark_state_pdf(spark, table)
     assert not got.duplicated(subset=["repo", "path"]).any()
     assert state_hash(got) == _oracle_hash(N)
+
+
+def test_manifest_shards_scale_with_bucket_count(spark, tmp_path):
+    """At 10^3+-bucket layouts the shard count must grow (~64 buckets
+    per shard) so commit bytes stay ∝ touched buckets — a fixed 16
+    shards would make every touched bucket rewrite 1/16 of the whole
+    manifest. Replays the 10^4-entry sharding assertion against a
+    4096-bucket layout: one touched bucket rewrites ONE shard ~1/64 of
+    the manifest footprint."""
+    import glob
+    import os
+
+    import pyspark.sql.types as T
+
+    from dlp_plugins_spark.cdc.lake import Snapshot
+
+    table = LakeTable.create(str(tmp_path / "shardy4k"), _payload_schema(),
+                             B.TABLE_KEY, n_buckets=4096)
+    # formula spot-checks: one shard per bucket up to 16, then fixed at
+    # 16 until ~1024 buckets, then ~64 buckets per shard
+    assert table._n_shards() == 64
+    for nb, expect in [(1, 1), (8, 8), (16, 16), (64, 16), (1024, 16),
+                       (65536, 1024)]:
+        t = LakeTable(str(tmp_path / "x"), B.TABLE_KEY, n_buckets=nb)
+        assert t._n_shards() == expect, (nb, t._n_shards())
+
+    base = table.current_snapshot()
+    n_entries = 20_000
+    synthetic = [
+        {"path": f"data/commit-synthetic/bucket={i % 4096}/part-{i:05d}.parquet",
+         "bucket": i % 4096, "rows": 10}
+        for i in range(n_entries)
+    ]
+    snap = Snapshot(
+        snapshot_id=base.snapshot_id + 1, schema_json=base.schema_json,
+        files=synthetic, applied_ranges=[[0, 0]], applied_batches=[0],
+        parent=base.snapshot_id, properties=base.properties,
+    )
+    table._write_snapshot(snap)
+    man_dir = os.path.join(table.path, "manifests")
+    shards_before = set(glob.glob(os.path.join(man_dir, "shard-*.json")))
+    assert len(shards_before) == 64
+    total_bytes = sum(os.path.getsize(p) for p in shards_before)
+
+    new_snap = table.commit_merge(
+        spark.createDataFrame(
+            [("r0", "p0", "c0", "py", "x", 1, 0)],
+            schema=T.StructType(table.current_snapshot().schema().fields
+                                + [T.StructField("_bucket", T.IntegerType())]),
+        ),
+        touched_buckets=[0], lsn_range=(1, 1), batch_ids=[1],
+        schema=table.current_snapshot().schema(),
+        expected_parent=snap.snapshot_id,
+    )
+    new_shards = set(glob.glob(os.path.join(man_dir, "shard-*.json"))) \
+        - shards_before
+    new_bytes = sum(os.path.getsize(p) for p in new_shards)
+    assert len(new_shards) == 1
+    assert new_bytes < total_bytes / 32  # nominal 1/64 of the footprint
+    n_bucket0 = sum(1 for e in synthetic if e["bucket"] == 0)
+    assert len(new_snap.files) == n_entries - n_bucket0 + 1

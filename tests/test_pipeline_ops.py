@@ -230,6 +230,73 @@ def test_decode_stub_raises_without_fake():
         MM.decode_image(b"xx", fake=False)
 
 
+def test_bmp_roundtrip_exact():
+    """Real codec: encode->decode must reproduce every pixel, across
+    widths that exercise 0/1/2/3 bytes of row padding."""
+    import numpy as np
+
+    for w in (4, 5, 6, 7):
+        for h in (1, 3):
+            rng = np.arange(h * w * 3, dtype=np.int64) * 37 % 256
+            img = rng.reshape(h, w, 3).astype(np.uint8)
+            payload = MM.encode_bmp(img)
+            assert payload[:2] == b"BM"
+            row_size = (3 * w + 3) // 4 * 4
+            assert len(payload) == 54 + row_size * h
+            back = MM.decode_bmp(payload)
+            assert back.shape == (h, w, 3)
+            assert (back == img).all()
+            # decode_image dispatches on the BMP magic without fake
+            assert (MM.decode_image(payload) == img).all()
+
+
+def test_bmp_decode_rejects_unsupported():
+    import struct
+
+    # 8bpp header must raise, not silently mis-decode
+    bad = bytearray(MM.encode_bmp(__import__("numpy").zeros((2, 2, 3),
+                                                           dtype="uint8")))
+    struct.pack_into("<H", bad, 28, 8)  # bpp field
+    with pytest.raises(ValueError):
+        MM.decode_bmp(bytes(bad))
+    with pytest.raises(ValueError):
+        MM.decode_bmp(b"BM" + b"\x00" * 10)  # truncated
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    """Real audio codec (stdlib wave): samples round-trip exactly, and
+    extract_audio_features computes rate/count/duration/RMS from the
+    real decode."""
+    import numpy as np
+
+    samples = ((np.arange(20, dtype=np.int64) * 257 + 3) % 4096).astype("i2")
+    payload = MM.encode_wav(samples, rate=16000)
+    rate, back = MM.decode_wav(payload)
+    assert rate == 16000 and (back == samples).all()
+
+    media = MM.synth_media_real_df(spark, n=24)
+    audio = media.filter("kind = 'audio'")
+    feats = MM.extract_audio_features(audio).toPandas().set_index("media_id")
+    for mid in feats.index:
+        ns = 8 + int(mid) % 8
+        exp = ((np.arange(ns, dtype=np.int64) * 257 + int(mid)) % 4096)
+        assert feats.loc[mid, "n_samples"] == ns
+        assert feats.loc[mid, "sample_rate"] == 16000
+        assert feats.loc[mid, "rms"] == pytest.approx(
+            float(np.sqrt(np.mean(exp.astype("f8") ** 2))))
+
+
+def test_real_media_features_decode_dims(spark):
+    """extract_features over REAL BMP payloads (no fake): decoded dims
+    must equal the synthesizer's closed-form width/height."""
+    media = MM.synth_media_real_df(spark, n=30).filter("kind = 'image'")
+    feats = MM.extract_features(media, fake_decode=False).toPandas()
+    assert len(feats) == 20  # ids with id % 3 != 0
+    for _, r in feats.iterrows():
+        assert r.width == 4 + r.media_id % 5
+        assert r.height == 3 + r.media_id % 4
+
+
 def test_ivf_topk_recall(spark):
     import numpy as np
 
@@ -356,6 +423,19 @@ def test_dedup_by_components_keeps_one_per_cluster(spark):
     assert kept == [1, 10, 99]  # one per cluster + untouched singleton
 
 
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node path (diameter 199 — FAR beyond max_iter=25 rounds of
+    plain propagation) must resolve via the pointer-jumping step in
+    O(log diameter) rounds: templated corpora produce exactly these
+    near-dup chains."""
+    from dlp_plugins_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 200)], "a_id long, b_id long")
+    got = {r.id: r.component for r in connected_components(chain).collect()}
+    assert got == {i: 1 for i in range(1, 201)}
+
+
 def test_connected_components_unconverged_raises(spark):
     from dlp_plugins_spark.operators.dedup import connected_components
 
@@ -365,3 +445,100 @@ def test_connected_components_unconverged_raises(spark):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
+
+
+# ---------------------------------------------------------------------------
+# TIME_MILLIS / TIME_MICROS logical types (SURVEY.md §1.2 mapping)
+# ---------------------------------------------------------------------------
+
+def test_time_logical_types_normalize_and_render(spark):
+    """TIME_MILLIS (int millis-of-day) and TIME_MICROS (long micros-of-
+    day) normalize to canonical micros-of-day and render the reference
+    TimeValue's HH:mm:ss.SSSSSS form; values survive transform plans on
+    OTHER fields untouched (pass-through)."""
+    from pyspark.sql import types as T
+
+    from dlp_plugins_spark.functions import timetypes as TT
+    from dlp_plugins_spark.operators.redaction import apply_transforms
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("note", T.StringType(), True),
+        TT.time_field("t_ms", TT.TIME_MILLIS),
+        TT.time_field("t_us", TT.TIME_MICROS),
+    ])
+    # 01:02:03.004 and 23:59:59.999999
+    rows = [(1, "a@b.com x", 3_723_004, 86_399_999_999),
+            (2, "plain", 45_296_250, 1)]
+    df = spark.createDataFrame(rows, schema)
+    norm = TT.normalize_time_columns(df)
+    got = {r.id: (r.t_ms, r.t_us) for r in norm.collect()}
+    assert got[1] == (3_723_004_000, 86_399_999_999)
+    assert got[2] == (45_296_250_000, 1)
+    rend = norm.select(
+        "id", TT.time_of_day_str("t_ms").alias("s_ms"),
+        TT.time_of_day_str("t_us").alias("s_us")).collect()
+    by_id = {r.id: (r.s_ms, r.s_us) for r in rend}
+    assert by_id[1] == ("01:02:03.004000", "23:59:59.999999")
+    assert by_id[2] == ("12:34:56.250000", "00:00:00.000001")
+    # transforms on other fields leave time columns bit-identical
+    out = apply_transforms(norm, [{
+        "transform": "REDACT", "fields": "note", "filters": "EMAIL_ADDRESS",
+    }])
+    got2 = {r.id: (r.t_ms, r.t_us, r.note) for r in out.collect()}
+    assert got2[1][:2] == (3_723_004_000, 86_399_999_999)
+    assert "a@b.com" not in got2[1][2]
+
+
+def test_time_logical_types_reject_date_shift(spark):
+    """DATE_SHIFT on a declared time-of-day column must fail validation
+    (reference widget allows date/timestamp types only), even though the
+    physical type (int/long) would otherwise be epoch-shiftable."""
+    from pyspark.sql import types as T
+
+    from dlp_plugins_spark.functions import timetypes as TT
+    from dlp_plugins_spark.operators.redaction import apply_transforms
+    from dlp_plugins_spark.plans.spec import SpecValidationError
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        TT.time_field("t_us", TT.TIME_MICROS),
+    ])
+    df = spark.createDataFrame([(1, 1000)], schema)
+    with pytest.raises(SpecValidationError, match="time-of-day"):
+        apply_transforms(df, [{
+            "transform": "DATE_SHIFT", "fields": "t_us", "filters": "NONE",
+            "transformProperties": {"keyType": "TRANSIENT", "name": "k",
+                                    "lowerBoundDays": 1,
+                                    "upperBoundDays": 5,
+                                    "epochUnit": "micros"},
+        }])
+
+
+def test_ivf_distributed_training_beyond_sample_capacity(spark, emb):
+    """train='distributed' must train an n_lists the driver-side sample
+    trainer cannot even seed (n_lists > sample_rows raises), and the
+    resulting index must clear the same recall gate as the sample path."""
+    import numpy as np
+
+    # the sample trainer cannot seed more lists than sampled rows
+    with pytest.raises(ValueError):
+        S.train_ivf_centroids(emb, dim=64, n_lists=128, sample_rows=64)
+
+    cents = S.train_ivf_centroids_distributed(emb, dim=64, n_lists=128,
+                                              iters=3)
+    assert cents.shape == (128, 64)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+
+    qids = list(range(8))
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = S.brute_force_topk(emb, queries, k=10).toPandas()
+    approx = S.ivf_topk(emb, queries, dim=64, k=10, n_lists=128,
+                        n_probe=24, centroids=cents).toPandas()
+    recalls = []
+    for q in qids:
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls
