@@ -3,14 +3,18 @@
 ``entry(spark)`` — flagship: DLP redaction pipeline over sf0.001 docs.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 incl.
 §2.7 engine-added ops + the training-data-pipeline operators); each
-callable (spark, sf_dir) -> DF. 49 entries.
+callable (spark, sf_dir) -> DF. 54 entries, ordered so the 50
+oracle-backed ones precede the rows-only ones (the correctness driver
+runs at most 50 queries).
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/aliases both sides; floats rounded identically).
-34 entries. Queries without an oracle are approximate or engine-native
-(LSH/IVF ANN, minhash pairs, simhash, lang-ID heuristic, crypto with no
-DuckDB equivalent, multimodal plumbing, CDC lake replay) — the driver
-records rows-only checks for those; their real verification lives in
-tests/ (round-trips, recall gates, state-hash parity).
+50 entries; this includes planted-fixture oracles (embedding/minhash
+near-dups, lang-ID), persisted-binlog replication (CDC replay + schema
+evolution), aggregate round-trip invariants (FPE / deterministic
+encryption), and the portable context-keyed date shift. The 4 queries
+without an oracle are genuinely non-SQL-expressible (simhash signatures,
+approximate ANN top-k) — the driver records rows-only checks for those;
+their real verification lives in tests/ (recall gates, known values).
 """
 
 from __future__ import annotations
@@ -1363,15 +1367,56 @@ ORDER BY repo, path
 
 
 def q_minhash_near_dup_pairs(spark, sf_dir):
-    # 8 bands x 8 rows: P(candidate | J=0.3) per band = J^8 ~ 7e-5, so the
-    # word-soup corpus (high pairwise 5-shingle overlap by chance) doesn't
-    # explode the candidate join.
-    docs = _read(spark, sf_dir, "documents")
-    sig = D.minhash_signature(docs, num_perm=64, shingle_k=5)
-    cands = D.minhash_lsh_candidates(sig, num_perm=64, bands=8)
-    return D.exact_jaccard_pairs(docs, cands, shingle_k=5) \
-        .filter(F.col("jaccard") >= 0.3) \
-        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    """MinHash-LSH near-dup detection, ORACLE-ATTESTED against a
+    brute-force all-pairs oracle: the 10 lowest doc_ids re-enter with
+    id+2,000,000 and one appended word (planted pairs at 5-word-shingle
+    Jaccard ~0.97), and the query returns every pair — planted AND
+    natural — verified at J >= 0.9. DuckDB recomputes ALL pairwise
+    shingle Jaccards exhaustively, so the LSH pipeline must find every
+    true pair: at J >= 0.9 the 16x4 banding's per-pair miss probability
+    is at most (1-0.9^4)^16 ~ 3e-9 — a miss, a false survivor, or a
+    wrong Jaccard is a driver red. The signature internals (xxhash64)
+    stay non-expressible; what's attested is the pipeline's end-to-end
+    output. Wide-threshold exploratory behavior is
+    tests/test_pipeline_ops.py::test_minhash_*."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzplantedtoken")).alias("text"),
+    )
+    allv = docs.unionByName(planted)
+    sig = D.minhash_signature(allv, num_perm=64, shingle_k=5)
+    cands = D.minhash_lsh_candidates(sig, num_perm=64, bands=16)
+    return D.exact_jaccard_pairs(allv, cands, shingle_k=5) \
+        .filter(F.col("jaccard") >= 0.9) \
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard")) \
+        .orderBy("a_id")
+
+
+SQL_MINHASH_NEAR_DUP = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+allv AS (
+  SELECT doc_id, w FROM norm
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, list_append(w, 'zzplantedtoken') AS w
+  FROM norm WHERE doc_id < 10),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 3, 1)),
+           i -> array_to_string(w[i:i+4], ' '))) AS s
+  FROM allv),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / len(list_distinct(a.s || b.s)) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT a_id, b_id, round(j, 6) AS jaccard
+FROM pairs WHERE j >= 0.9 ORDER BY a_id
+"""
 
 
 def q_simhash_docs(spark, sf_dir):
@@ -1552,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-attested via planted fixtures / aggregate invariants /
         # persisted-binlog replication
         "embedding_near_dup": q_embedding_near_dup,
+        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "lang_detect": q_lang_detect,
         "cdc_replay_state": q_cdc_replay_state,
         "cdc_schema_evolution": q_cdc_schema_evolution,
@@ -1561,16 +1607,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_encrypt_roundtrip": q_det_encrypt_roundtrip,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
-        # genuinely non-SQL-expressible (rows-only at the driver; the
-        # driver runs at most 50 queries, so the oracle-backed entries
-        # above come first — entries past the cap are still attested by
-        # the identical local pytest gate, tests/test_entry_oracle.py):
-        # - minhash/simhash signatures hinge on xxhash64 / numpy-specific
-        #   hashing DuckDB cannot reproduce; recall + known-value tests
-        #   in tests/test_operators.py
+        # genuinely non-SQL-expressible (rows-only; the driver runs at
+        # most 50 queries, so the 50 oracle-backed entries above come
+        # first — these 4 are attested by the identical local pytest
+        # gate, tests/test_entry_oracle.py):
+        # - simhash signatures hinge on numpy-specific hashing DuckDB
+        #   cannot reproduce; pigeonhole/known-value tests in
+        #   tests/test_pipeline_ops.py
         # - ANN top-k is approximate by design; recall-vs-brute-force
-        #   gates in tests/test_operators.py
-        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        #   gates in tests/test_pipeline_ops.py
         "simhash_docs": q_simhash_docs,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -1629,4 +1674,5 @@ def oracle_sql() -> dict[str, str]:
         "date_shift_context": SQL_DATE_SHIFT_CONTEXT,
         "cdc_replay_state": SQL_CDC_REPLAY_STATE,
         "cdc_schema_evolution": SQL_CDC_SCHEMA_EVOLUTION,
+        "minhash_near_dup_pairs": SQL_MINHASH_NEAR_DUP,
     }

@@ -76,10 +76,6 @@ def test_rows_only_queries_run_and_are_deterministic(spark, name):
     df1 = q(spark, SF_DIR)
     p1 = df1.toPandas()
     assert len(p1) >= 0 and len(p1.columns) > 0
-    if name == "cdc_replay_state":
-        assert len(p1) > 0  # replay must materialize state
-        return  # second replay writes another tmp table; determinism is
-        # covered in tests/test_cdc.py
     p2 = q(spark, SF_DIR).toPandas()
     assert _value_hash(p1) == _value_hash(p2), f"{name} not deterministic"
 
