@@ -3,12 +3,13 @@
 ``entry(spark)`` — flagship: DLP redaction pipeline over sf0.001 docs.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 incl.
 §2.7 engine-added ops + the training-data-pipeline operators); each
-callable (spark, sf_dir) -> DF. 54 entries, ordered so the 50
-oracle-backed ones precede the rows-only ones (the correctness driver
-runs at most 50 queries).
+callable (spark, sf_dir) -> DF. 55 entries, ordered so the oracle-backed
+ones precede the rows-only ones (the correctness driver runs at most 50
+queries; the 51st oracle-backed entry, winnow_fingerprints, is attested
+by the identical local gate in tests/test_entry_oracle.py).
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/aliases both sides; floats rounded identically).
-50 entries; this includes planted-fixture oracles (embedding/minhash
+51 entries; this includes planted-fixture oracles (embedding/minhash
 near-dups, lang-ID), persisted-binlog replication (CDC replay + schema
 evolution), aggregate round-trip invariants (FPE / deterministic
 encryption), and the portable context-keyed date shift. The 4 queries
@@ -1321,6 +1322,47 @@ FROM range(0, 128) t(media_id)
 """
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing local fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03;
+    functions/text.py:winnow_fingerprints): md5 char-8-gram hashes,
+    min per 16-gram sliding window, distinct per doc — any shared
+    substring >= 23 chars between docs shares a fingerprint. Fully
+    JVM-side array expressions (no Python, no shuffle before the agg);
+    md5 makes every fingerprint bit-reproducible in DuckDB. Result is
+    the per-doc fingerprint-set summary (count + lexicographic min/max
+    — a content-sensitive digest of the whole selected set)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = TX.winnow_fingerprints(docs, "text", k=8, w=16)
+    return (
+        fps.groupBy("doc_id").agg(
+            F.count("*").alias("n_fp"),
+            F.min("fingerprint").alias("min_fp"),
+            F.max("fingerprint").alias("max_fp"),
+        ).orderBy("doc_id")
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = """
+WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+g0 AS (SELECT doc_id, t,
+              unnest(range(1, greatest(length(t) - 7, 0) + 1)) AS i
+       FROM t),
+g AS (SELECT doc_id, i, md5(substring(t, CAST(i AS INT), 8)) AS h,
+             length(t) - 7 AS n_grams
+      FROM g0),
+wm AS (SELECT doc_id, i, n_grams,
+              min(h) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wfp,
+              min(h) OVER (PARTITION BY doc_id) AS allfp
+       FROM g),
+sel AS (SELECT DISTINCT doc_id,
+               CASE WHEN n_grams < 16 THEN allfp ELSE wfp END AS fp
+        FROM wm WHERE i <= greatest(n_grams - 15, 1))
+SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+FROM sel GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # Fixed locations the CDC oracles read: the queries persist the exact
 # binlog they replay, so DuckDB folds the SAME events (arg_max by LSN per
 # key, tombstones dropped) that the engine merged.
@@ -1607,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_encrypt_roundtrip": q_det_encrypt_roundtrip,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "winnow_fingerprints": q_winnow_fingerprints,
         # genuinely non-SQL-expressible (rows-only; the driver runs at
         # most 50 queries, so the 50 oracle-backed entries above come
         # first — these 4 are attested by the identical local pytest
@@ -1675,4 +1718,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_state": SQL_CDC_REPLAY_STATE,
         "cdc_schema_evolution": SQL_CDC_SCHEMA_EVOLUTION,
         "minhash_near_dup_pairs": SQL_MINHASH_NEAR_DUP,
+        "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     }

@@ -106,7 +106,20 @@ def merge_batch(
     into the table schema; existing rows read back as null.
 
     ``transform``: optional DataFrame->DataFrame stage (the DLP apply
-    stage) run on the fresh rows INSIDE the merge job — see below.
+    stage) run INSIDE the merge job, after the LWW aggregation. It is
+    called on the winner rows, which carry a boolean ``_fresh`` column
+    (true = row originated in this batch); implementations must rewrite
+    fresh rows only (pass ``mask_col="_fresh"`` to ``apply_transforms``)
+    and preserve the column — the merge drops it before the write.
+    Because the per-row kernels are deterministic,
+    ``transform(max_by(raw rows))`` == ``max_by(transform(each raw
+    row))`` per key, so the final state is identical to transforming
+    the whole batch up front — but batch losers and delete winners
+    never reach Python, and the stage rides the aggregation exchange's
+    parallelism instead of needing its own repartition shuffle.
+    Transforms must not target key columns (the replay driver rejects
+    such specs up front — rewriting merge keys mid-replay is
+    undefined).
 
     ``mode``: ``'mow'`` (merge-on-write, default) rewrites touched
     buckets so reads are plain scans; ``'mor'`` (merge-on-read) appends
@@ -123,9 +136,10 @@ def merge_batch(
           RAW batch — pure JVM scan+agg, no Python stage, no caching.
           Also yields the touched-bucket set, so no separate
           distinct-collect job.
-      J2 (merge+write): union(current rows of touched buckets,
-          transform(batch)) -> groupBy(key).max_by(lsn) -> drop deletes
-          -> write. The expensive Python transform runs exactly once,
+      J2 (merge+write): union(current rows of touched buckets, batch)
+          -> groupBy(key).max_by(lsn) -> drop deletes -> masked DLP
+          transform on fresh winners -> write. The expensive Python
+          transform runs exactly once per surviving key, post-shuffle,
           pipelined inside this one fully-parallel job — nothing is
           persisted, so no materialization barrier.
     The within-batch LWW pre-dedup is intentionally ABSENT: the merge
@@ -192,16 +206,6 @@ def _merge_once(
     max_share = max(r["n"] for r in stats_rows) / n_batch
     salted_eff = salted or (n_batch >= 100_000 and max_share > 0.3)
 
-    if transform is not None:
-        # A micro-batch segment is often 1-2 parquet splits (<= a couple
-        # hundred MB), which would cap the Python transform stage at 1-2
-        # tasks no matter the cluster size. One cheap round-robin
-        # repartition of the (small) batch unlocks full parallelism for
-        # the expensive stage — this is what makes N->4N scale.
-        n_slots = spark.sparkContext.defaultParallelism
-        fresh = fresh.repartition(n_slots * 2)
-        fresh = transform(fresh)
-
     # ---- schema evolution: adopt new nullable payload columns --------------
     table_schema = snap.schema()
     table_cols = set(table_schema.fieldNames())
@@ -219,6 +223,12 @@ def _merge_once(
         # ---- J2 (merge-on-read): dedupe batch, append delta files -----------
         deduped = lww_dedup(fresh.drop("batch_id"), table.key_cols,
                             salted=salted_eff)
+        if transform is not None:
+            # DLP apply stage AFTER the dedup shuffle: Python cost is
+            # per-key winners, not raw batch rows, and the stage rides
+            # the dedup exchange's parallelism (no extra repartition).
+            deduped = transform(deduped.withColumn("_fresh", F.lit(True))) \
+                .drop("_fresh")
         payload = [
             (F.col(f.name) if f.name in deduped.columns
              else F.lit(None).cast(f.dataType).alias(f.name))
@@ -247,22 +257,39 @@ def _merge_once(
         )
 
     # ---- J2: single-aggregation MERGE + write -------------------------------
+    # ``_fresh`` marks batch-originated rows through the aggregation so
+    # the DLP apply stage (below) rewrites ONLY this batch's winners:
+    # stored rows were transformed when first written (re-running
+    # non-idempotent kernels would corrupt them), and batch losers /
+    # delete winners never reach Python at all.
     current = table.read(spark, buckets=touched, snapshot=snap)
     current = current.withColumn(OP_COL, F.lit("U")).withColumn(
         "_bucket", key_bucket_expr(table.key_cols, table.n_buckets)
-    ).withColumnRenamed("_lsn", LSN_COL)
+    ).withColumnRenamed("_lsn", LSN_COL).withColumn("_fresh", F.lit(False))
 
     batch_side = fresh.drop("batch_id")
     if salted_eff:
         batch_side = lww_dedup(batch_side, table.key_cols, salted=True)
+    batch_side = batch_side.withColumn("_fresh", F.lit(True))
     unioned = current.unionByName(batch_side, allowMissingColumns=True)
     out_cols = [f.name for f in evolved_schema.fields if f.name != "_lsn"]
-    row = F.struct(*[F.col(c) for c in out_cols + [LSN_COL, OP_COL, "_bucket"]])
+    row = F.struct(*[F.col(c) for c in
+                     out_cols + [LSN_COL, OP_COL, "_bucket", "_fresh"]])
     winners = (
         unioned.groupBy(*table.key_cols)
         .agg(F.max_by(row, F.col(LSN_COL)).alias("_r"))
         .select("_r.*")
         .filter(F.col(OP_COL) != DELETE)
+    )
+    if transform is not None:
+        # DLP apply stage AFTER the merge shuffle, masked to fresh
+        # winners. The Python stage inherits the aggregation exchange's
+        # parallelism (spark.sql.shuffle.partitions ~ cluster slots; AQE
+        # parallelismFirst keeps it there), so no repartition of the raw
+        # batch is needed — one less full shuffle per batch.
+        winners = transform(winners)
+    winners = (
+        winners.drop("_fresh")
         .withColumnRenamed(LSN_COL, "_lsn")
         .drop(OP_COL)
     )

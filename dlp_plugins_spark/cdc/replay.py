@@ -7,9 +7,13 @@ Per batch:
 
   1. materialize/ read the segment [lo, hi)
   2. drop rows already applied (manifest LSN ranges — exactly-once)
-  3. DLP apply stage: the compiled TransformSpec rewrites `content`
-     via Arrow pandas UDFs (reference semantics, vectorized)
-  4. LWW dedup + single-aggregation MERGE into the lake table
+  3. LWW single-aggregation MERGE against current state
+  4. DLP apply stage on the batch's WINNER rows only (masked, post-
+     shuffle): the compiled TransformSpec rewrites `content` via Arrow
+     pandas UDFs (reference semantics, vectorized). Kernels are
+     per-row deterministic, so transforming winners after the merge
+     produces byte-identical state to transforming every event first —
+     with batch losers and delete winners never reaching Python.
   5. atomic snapshot commit with lineage + metrics
 
 Resume-from-checkpoint is free: the manifest IS the checkpoint — on
@@ -102,6 +106,20 @@ def replay(
     # record (ref FieldTransformOperation, Utils.java:337-396); cached
     # per payload schema — it only changes on schema evolution
     plan = TransformPlan.parse(spec) if spec else None
+    if plan is not None:
+        # The DLP stage runs on post-merge winners (merge.py): rewriting
+        # the MERGE KEYS there would diverge from any sane CDC semantics
+        # (the key identifies the row across its change history) — reject
+        # loudly instead of silently merging on raw keys and storing
+        # transformed ones.
+        bad = {f for e in plan.entries for f in e.fields} & set(table.key_cols)
+        if bad:
+            from dlp_plugins_spark.plans.spec import SpecValidationError
+
+            raise SpecValidationError(
+                f"transform spec targets merge key column(s) {sorted(bad)}; "
+                "key columns cannot be transformed during replay"
+            )
     field_ops_cache: dict[tuple, list] = {}
     # ONE StageCounters for the whole replay (accumulators register in
     # the SparkContext for its lifetime — per-batch instances would leak
@@ -125,11 +143,13 @@ def replay(
             batch = B.shuffle_within_batch(batch)
         t_b = time.monotonic()
         # DLP apply stage (vectorized; schema-preserving) runs INSIDE the
-        # merge job on fresh rows only — after the exactly-once filter,
-        # pipelined with the merge shuffle (no persist barrier).
+        # merge job on this batch's winner rows only (mask_col="_fresh"),
+        # after the exactly-once filter and the LWW aggregation — see
+        # merge_batch for the equivalence argument.
         from dlp_plugins_spark.cdc.merge import LSN_COL, OP_COL
 
-        tf = (lambda df: apply_transforms(df, spec, counters=counters)) \
+        tf = (lambda df: apply_transforms(df, spec, counters=counters,
+                                          mask_col="_fresh")) \
             if spec else None
         lineage_extra = None
         if plan is not None:

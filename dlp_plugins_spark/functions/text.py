@@ -208,3 +208,59 @@ def with_shingle_set(df, text_col: str, k: int = 5,
     return wdf.select(
         *keep, F.array_distinct(shingles_of_words("_w", k)).alias(out)
     )
+
+
+def winnow_fingerprints(df, text_col: str = "text", k: int = 8, w: int = 16,
+                        id_cols: list[str] | None = None,
+                        out: str = "fingerprint"):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): hash every character k-gram, slide a window of ``w``
+    consecutive gram hashes, keep each window's minimum — any shared
+    substring of length >= k + w - 1 between two documents is GUARANTEED
+    to share a selected fingerprint, which makes the distinct-min set
+    the standard local fingerprint for plagiarism/near-dup detection.
+
+    Engine shape (100 TB): everything is JVM-side array expressions over
+    ``lower(text)`` — one md5 per gram inside a ``transform`` lambda
+    over a materialized text attribute (the lambda-inlining trap
+    documented at ``shingles_of_words`` applies here too), window mins
+    via ``array_min(slice(...))`` (O(n*w) per doc, no shuffle), distinct
+    + explode to (id, fingerprint) rows. md5 is used instead of
+    xxhash64 so DuckDB reproduces the exact fingerprints (oracle
+    parity). Documents shorter than k grams emit no fingerprints; with
+    fewer than ``w`` grams the single overall min is emitted (window
+    clamp).
+
+    Returns (id_cols..., ``out``) — one row per distinct selected
+    fingerprint per document.
+    """
+    keep = id_cols if id_cols is not None else [
+        c for c in df.columns if c != text_col
+    ]
+    tdf = df.select(*keep, F.lower(F.col(text_col)).alias("_t"))
+    n_grams = F.length(F.col("_t")) - F.lit(k) + F.lit(1)
+    hdf = tdf.select(
+        *keep,
+        F.when(n_grams < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                lambda i: F.md5(F.col("_t").substr(i, F.lit(k))),
+            )
+        ).alias("_h"),
+    )
+    n_h = F.size(F.col("_h"))
+    n_wins = n_h - F.lit(w) + F.lit(1)
+    wins = (
+        F.when(n_h < 1, F.array().cast("array<string>"))
+        .when(n_h < w, F.array(F.array_min(F.col("_h"))))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+                lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
+            )
+        )
+    )
+    return hdf.select(
+        *keep, F.explode(F.array_distinct(wins)).alias(out)
+    )

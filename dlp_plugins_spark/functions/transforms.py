@@ -135,6 +135,113 @@ def _per_match_apply(values: pd.Series, rx: re.Pattern, valid, fn,
     return out
 
 
+def _re2_compiles(pattern: str) -> bool:
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pc.replace_substring_regex(
+            pa.array(["x"]), pattern=pattern, replacement="")
+        return True
+    except Exception:
+        return False
+
+
+class _HybridConstReplacer:
+    """Exact-semantics hybrid for constant-replacement transforms
+    (REDACT, REPLACE_VALUE with infoTypes) — the replay hot kernel.
+
+    Partition the detector set:
+      P — no validator, no lookaround prefilter, pattern compiles in RE2;
+      R — everything else (Luhn/IBAN validators, lookarounds, RE2-
+          rejected repetition bounds).
+    A row whose R-prescan is negative contains no substring matching any
+    R detector (Prescan is a superset test), so Python's leftmost-first
+    scan of the FULL union on that row can only ever select P
+    alternatives — identical, match for match, to a leftmost-first scan
+    of the P-subunion in the same alternative order. Those rows are
+    rewritten by ONE vectorized RE2 GlobalReplace (pyarrow
+    ``replace_substring_regex``; RE2's default ``longest_match=false``
+    is the same PCRE-style leftmost-first alternative selection as
+    Python ``re``, and every P pattern already passed the ASCII-parity
+    regime the prescan relies on). Rows the R-prescan flags take the
+    exact Python ``rx.sub`` + validator path unchanged.
+
+    Net: Python cost scales with the *validated/lookaround* finding
+    rate, not the total finding rate; the common findings (emails, API
+    keys, tokens) never leave C++. Byte parity with the pure-Python
+    path is test-asserted (tests/test_kernels.py).
+
+    Any RE2 failure at call time (pyarrow missing / pattern drift)
+    permanently falls back to the pure-Python path — same outputs,
+    slower."""
+
+    def __init__(self, info_types: list, replacement: str):
+        dets = resolve_detectors(info_types)
+        self._rx, self._valid, self._pre_all = _compiled(info_types)
+        self._replacement = replacement
+        # RE2 rewrite strings treat backslash as escape (\0-\9 backrefs)
+        self._re2_rewrite = replacement.replace("\\", "\\\\")
+
+        def alt(d):
+            grp = "?i:" if d.flags & re.IGNORECASE else "?:"
+            return f"({grp}{d.pattern})"
+
+        p_dets = [
+            d for d in dets
+            if d.validator is None and d.prefilter is None
+            and _re2_compiles(alt(d))
+        ]
+        r_dets = [d for d in dets if d not in p_dets]
+        # same alternative ORDER as the full union — alternation order is
+        # part of leftmost-first semantics
+        self._p_union = "|".join(alt(d) for d in p_dets)
+        self._pre_r = Prescan(r_dets) if r_dets else None
+        self._use_re2 = bool(p_dets)
+
+    def _sub_python(self, values: pd.Series) -> pd.Series:
+        rep = self._replacement
+
+        def sub_one(text: str) -> str:
+            return self._rx.sub(
+                lambda m: rep if self._valid(m.group(0)) else m.group(0),
+                text,
+            )
+
+        return values.map(sub_one)
+
+    def __call__(self, values: pd.Series, _ctx=None) -> pd.Series:
+        hit = self._pre_all(values)
+        if not hit.any():
+            return values
+        out = values.copy()
+        hv = values[hit]
+        if self._use_re2:
+            try:
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                r_mask = self._pre_r(hv) if self._pre_r is not None \
+                    else pd.Series(False, index=hv.index)
+                re2_rows = hv[~r_mask]
+                py_rows = hv[r_mask]
+                if len(re2_rows):
+                    arr = pa.array(re2_rows, type=pa.string())
+                    rep = pc.replace_substring_regex(
+                        arr, pattern=self._p_union,
+                        replacement=self._re2_rewrite,
+                    ).to_pandas()
+                    rep.index = re2_rows.index
+                    out[rep.index] = rep
+                if len(py_rows):
+                    out[py_rows.index] = self._sub_python(py_rows)
+                return out
+            except Exception:
+                self._use_re2 = False
+        out[hv.index] = self._sub_python(hv)
+        return out
+
+
 # ---------------------------------------------------------------------------
 # kernel factories — each returns (values, context) -> values'
 # ---------------------------------------------------------------------------
@@ -203,10 +310,7 @@ def replace_value(new_value: str, info_types: list[str] | None = None) -> Kernel
     if new_value is None:
         raise ValueError("newValue is required")
     if info_types:
-        rx, valid, pre = _compiled(info_types)
-
-        def fn(values: pd.Series, _ctx=None) -> pd.Series:
-            return _per_match_apply(values, rx, valid, lambda _t: new_value, pre)
+        fn = _HybridConstReplacer(info_types, new_value)
     else:
         def fn(values: pd.Series, _ctx=None) -> pd.Series:
             out = values.copy()
@@ -218,10 +322,7 @@ def replace_value(new_value: str, info_types: list[str] | None = None) -> Kernel
 def redact(info_types: list[str] | None = None) -> Kernel:
     """REDACT — delete matched text (ref RedactTransformConfig.java:30-48)."""
     if info_types:
-        rx, valid, pre = _compiled(info_types)
-
-        def fn(values: pd.Series, _ctx=None) -> pd.Series:
-            return _per_match_apply(values, rx, valid, lambda _t: "", pre)
+        fn = _HybridConstReplacer(info_types, "")
     else:
         def fn(values: pd.Series, _ctx=None) -> pd.Series:
             out = values.copy()

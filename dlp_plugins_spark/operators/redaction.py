@@ -68,15 +68,44 @@ def compile_plan(spec, schema) -> CompiledPlan:
 
 def _kernel_udf(kernel, out_type, with_context: bool,
                 counters: StageCounters | None = None,
-                count_in: bool = False):
+                count_in: bool = False,
+                with_mask: bool = False):
     """Wrap a pandas kernel in an Arrow-batched pandas_udf (factory form —
-    pandas_udf type-hint inference forbids extra default args)."""
+    pandas_udf type-hint inference forbids extra default args).
 
-    def run(values: pd.Series, ctx: pd.Series | None) -> pd.Series:
+    ``with_mask``: the UDF takes a trailing boolean column and applies
+    the kernel to masked-true rows only — masked-false rows pass through
+    byte-identical. This is how the merge path transforms only
+    batch-originated winner rows (already-stored rows were transformed
+    when first written; re-running non-idempotent kernels on them would
+    corrupt state)."""
+
+    def run(values: pd.Series, ctx: pd.Series | None,
+            mask: pd.Series | None) -> pd.Series:
+        if mask is not None:
+            m = mask.fillna(False).astype(bool)
+            if counters is not None and count_in:
+                counters.rows_in.add(int(m.sum()))
+            if not m.all():
+                out = values.copy()
+                if m.any():
+                    sub_ctx = ctx[m] if ctx is not None else None
+                    try:
+                        sub = kernel(values[m], sub_ctx)
+                    except Exception:
+                        if counters is not None:
+                            counters.rows_errored.add(int(m.sum()))
+                        raise
+                    if counters is not None:
+                        ch = (sub != values[m]) & ~(sub.isna() & values[m].isna())
+                        counters.rows_transformed.add(int(ch.sum()))
+                    out[m] = sub
+                return out
+            # fall through: all-true mask == unmasked apply
+        elif counters is not None and count_in:
+            counters.rows_in.add(len(values))
         if counters is None:
             return kernel(values, ctx)
-        if count_in:  # one "request" per row, not per step
-            counters.rows_in.add(len(values))
         try:
             out = kernel(values, ctx)
         except Exception:
@@ -86,28 +115,47 @@ def _kernel_udf(kernel, out_type, with_context: bool,
         counters.rows_transformed.add(int(changed.sum()))
         return out
 
-    if with_context:
+    if with_context and with_mask:
+        @F.pandas_udf(out_type)
+        def _udf(values: pd.Series, ctx: pd.Series,
+                 mask: pd.Series) -> pd.Series:
+            return run(values, ctx, mask)
+    elif with_context:
         @F.pandas_udf(out_type)
         def _udf(values: pd.Series, ctx: pd.Series) -> pd.Series:
-            return run(values, ctx)
+            return run(values, ctx, None)
+    elif with_mask:
+        @F.pandas_udf(out_type)
+        def _udf(values: pd.Series, mask: pd.Series) -> pd.Series:
+            return run(values, None, mask)
     else:
         @F.pandas_udf(out_type)
         def _udf(values: pd.Series) -> pd.Series:
-            return run(values, None)
+            return run(values, None, None)
     return _udf
 
 
 def apply_transforms(df: DataFrame, spec,
-                     counters: StageCounters | None = None) -> DataFrame:
+                     counters: StageCounters | None = None,
+                     mask_col: str | None = None) -> DataFrame:
     """Apply a transform plan; output schema == input schema
     (the reference's shape-preserving invariant). ``counters`` enables
-    the stage-metrics accumulators (small per-batch comparison cost)."""
+    the stage-metrics accumulators (small per-batch comparison cost).
+
+    ``mask_col``: name of a boolean column; kernels rewrite only rows
+    where it is true (the merge path's ``_fresh`` flag — see
+    cdc/merge.py). The mask column itself is left untouched; with a
+    mask, ``rows_in`` counts mask-true rows (rows actually entering the
+    apply stage)."""
     compiled = compile_plan(spec, df.schema)
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     for i, step in enumerate(compiled.steps):
         udf = _kernel_udf(step.kernel, dtypes[step.field], bool(step.context),
-                          counters=counters, count_in=(i == 0))
+                          counters=counters, count_in=(i == 0),
+                          with_mask=mask_col is not None)
         args = [F.col(step.field)] + ([F.col(step.context)] if step.context else [])
+        if mask_col is not None:
+            args.append(F.col(mask_col))
         df = df.withColumn(step.field, udf(*args))
     return df
 

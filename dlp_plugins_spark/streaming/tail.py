@@ -71,7 +71,8 @@ def stream_replay(
     def apply_micro_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        tf = (lambda df: apply_transforms(df, spec)) if spec else None
+        tf = (lambda df: apply_transforms(df, spec, mask_col="_fresh")) \
+            if spec else None
         # batch ids derive from data, not epoch: the manifest check stays
         # valid across stream restarts that re-chunk the source
         bids = [

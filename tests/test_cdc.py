@@ -623,8 +623,14 @@ def test_per_field_lineage_and_stage_metrics(spark, tmp_path):
     assert by_field["repo"]["description"] == "No transform applied"
 
     stage = m.per_batch[0]["stage"]
-    assert stage["rows_in"] == BATCH        # one "request" per row
-    assert 0 < stage["rows_transformed"] <= BATCH
+    # the apply stage runs on post-merge fresh winners (round 3): one
+    # "request" per surviving key, not per raw event — batch losers and
+    # delete winners never enter the stage. On an empty table, batch 0's
+    # fresh non-delete winners ARE the resulting table rows.
+    n_state = table.read(spark).count()
+    assert stage["rows_in"] == n_state
+    assert 0 < stage["rows_in"] < BATCH     # dedup+deletes shrank the work
+    assert 0 < stage["rows_transformed"] <= stage["rows_in"]
     assert stage["rows_errored"] == 0
 
 
@@ -867,3 +873,43 @@ def test_manifest_shards_scale_with_bucket_count(spark, tmp_path):
     assert new_bytes < total_bytes / 32  # nominal 1/64 of the footprint
     n_bucket0 = sum(1 for e in synthetic if e["bucket"] == 0)
     assert len(new_snap.files) == n_entries - n_bucket0 + 1
+
+
+def test_replay_rejects_key_column_transform(spark, tmp_path):
+    """The DLP stage runs on post-merge winners, so a spec that rewrites
+    a MERGE KEY column is undefined — replay must refuse it before any
+    Spark job runs."""
+    import pytest
+
+    from dlp_plugins_spark.plans.spec import SpecValidationError
+
+    table = _mktable(tmp_path, "keyspec")
+    with pytest.raises(SpecValidationError, match="key column"):
+        replay(spark, table, 0, BATCH, batch_size=BATCH, gen_kwargs=GEN,
+               transform_spec=[{"transform": "MASKING", "fields": "repo",
+                                "filters": "NONE",
+                                "transformProperties": {"maskingChar": "#"}}])
+
+
+def test_masked_apply_transforms_only_fresh_rows(spark):
+    """apply_transforms(mask_col=...): masked-false rows pass through
+    byte-identical even for non-idempotent kernels (CRYPTO_HASH)."""
+    from dlp_plugins_spark.operators.redaction import apply_transforms
+
+    df = spark.createDataFrame(
+        [("alpha", True), ("beta", False), (None, True), ("gamma", False)],
+        "v string, _fresh boolean",
+    )
+    spec = [{"transform": "CRYPTO_HASH", "fields": "v", "filters": "NONE",
+             "transformProperties": {"keyType": "TRANSIENT", "name": "k"}}]
+    rows = {(r["_fresh"], r["v"]) for r in
+            apply_transforms(df, spec, mask_col="_fresh").collect()}
+    vals = dict((f, v) for f, v in rows if v is not None or f)
+    # unmasked rows untouched
+    assert ("beta" in {v for f, v in rows if not f})
+    assert ("gamma" in {v for f, v in rows if not f})
+    # masked rows hashed (64-hex), null stays null
+    fresh_vals = [v for f, v in rows if f]
+    assert None in fresh_vals
+    hashed = [v for v in fresh_vals if v is not None]
+    assert len(hashed) == 1 and len(hashed[0]) == 64 and hashed[0] != "alpha"

@@ -542,3 +542,48 @@ def test_ivf_distributed_training_beyond_sample_capacity(spark, emb):
         a = set(approx[approx.query_id == q].neighbor_id)
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_winnow_fingerprints_matches_python_reference(spark):
+    """Engine winnowing == textbook single-threaded winnowing (md5
+    k-grams, min per w-window, distinct), incl. edge docs (empty,
+    shorter than k, exactly k, shorter than k+w-1)."""
+    import hashlib
+
+    from dlp_plugins_spark.functions.text import winnow_fingerprints
+
+    def ref(text, k=8, w=16):
+        t = text.lower()
+        hs = [hashlib.md5(t[i:i + k].encode()).hexdigest()
+              for i in range(len(t) - k + 1)]
+        if not hs:
+            return set()
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "short"), (3, ""), (4, "abcdefgh"),
+        (5, "The Quick Brown Fox Jumps Over The Lazy Dog running far away"),
+        (6, "unicode naïve café text with enough length to window"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_fingerprints(df, "text").toPandas()
+    for did, text in rows:
+        assert set(got[got.doc_id == did].fingerprint) == ref(text), did
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """The winnowing guarantee: two docs sharing a substring of length
+    >= k + w - 1 (= 23 here) MUST share at least one fingerprint."""
+    from dlp_plugins_spark.functions.text import winnow_fingerprints
+
+    shared = "this exact stretch of shared text is long enough"
+    rows = [(1, "prefix junk " + shared + " suffix A"),
+            (2, "totally different opening " + shared + " and ending B"),
+            (3, "no overlap with anything else at all whatsoever here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_fingerprints(df, "text").toPandas()
+    s = {d: set(got[got.doc_id == d].fingerprint) for d, _ in rows}
+    assert s[1] & s[2]
