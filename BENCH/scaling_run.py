@@ -210,13 +210,20 @@ normalization is checkable.
 Per-batch seconds @ local[{CORES_N}]: {rN['per_batch_sec']}
 Per-batch seconds @ local[{CORES_4N}]: {r4N['per_batch_sec']}
 
-Pipeline per batch: binlog scan -> exactly-once LSN filter -> one cheap
-JVM stats job (per-bucket counts; column-pruned scan) -> ONE merge job:
-repartition to cluster parallelism -> DLP apply stage (REDACT of
-DEMOGRAPHIC+CREDIT_CARD+TAX+CREDENTIAL over `content`, RE2-prescanned
-Arrow pandas UDF) -> union with current bucket files ->
-groupBy(key).max_by(lsn) LWW merge (map-side partial agg) -> write one
-file per touched bucket -> atomic snapshot commit + lineage.
+Pipeline per batch (round 3, single-shuffle bucket-aligned merge):
+binlog scan -> exactly-once LSN filter -> one cheap JVM stats job
+(per-bucket counts; column-pruned scan) -> ONE merge job with ONE
+exchange: union raw batch with current bucket files -> repartition by
+table bucket -> in-partition sort (bucket, key, lsn) -> JVM lead()
+window marks each key's max-LSN row (no further exchange; plan-shape
+test-gated) -> drop deletes -> DLP apply stage on this batch's fresh
+WINNERS only (REDACT over `content`; hybrid RE2/Python constant
+replacement, masked to `_fresh` rows — batch losers/delete winners
+never reach Python) -> direct partitioned write (pre-sorted, one file
+per touched bucket) -> atomic snapshot commit + lineage. Kernels are
+per-row deterministic, so winners-then-transform is byte-identical to
+transform-then-merge (state hash asserted, and identical across all
+three rounds' engines).
 
 Batch sizing note: 4M-row batches stand in for the >=100M-row batches a
 real 1000-executor replay would use; per-batch driver fixed cost

