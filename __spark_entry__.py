@@ -3,13 +3,14 @@
 ``entry(spark)`` — flagship: DLP redaction pipeline over sf0.001 docs.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 incl.
 §2.7 engine-added ops + the training-data-pipeline operators); each
-callable (spark, sf_dir) -> DF. 55 entries, ordered so the oracle-backed
+callable (spark, sf_dir) -> DF. 56 entries, ordered so the oracle-backed
 ones precede the rows-only ones (the correctness driver runs at most 50
-queries; the 51st oracle-backed entry, winnow_fingerprints, is attested
-by the identical local gate in tests/test_entry_oracle.py).
+queries; oracle-backed entries 51-52 — winnow_fingerprints and
+cdc_debezium_parse — are attested by the identical local gate in
+tests/test_entry_oracle.py).
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/aliases both sides; floats rounded identically).
-51 entries; this includes planted-fixture oracles (embedding/minhash
+52 entries; this includes planted-fixture oracles (embedding/minhash
 near-dups, lang-ID), persisted-binlog replication (CDC replay + schema
 evolution), aggregate round-trip invariants (FPE / deterministic
 encryption), and the portable context-keyed date shift. The 4 queries
@@ -1322,6 +1323,98 @@ FROM range(0, 128) t(media_id)
 """
 
 
+# Fixed location the CDC/source-adapter oracles read: the queries
+# persist the exact data they process, so DuckDB classifies/folds the
+# SAME bytes the engine did.
+ORACLE_TMP = "/tmp/spark_graft_oracle"
+
+
+def q_cdc_debezium_parse(spark, sf_dir):
+    """Debezium-envelope CDC source adapter (sources/cdc_json.py):
+    engine events rendered as Debezium change-event JSON, parsed back
+    JVM-side (from_json, explicit schema), with semantically invalid
+    envelopes (unknown op, missing lsn, null row image) routed to the
+    error port. Result: per-op event counts + lsn range + distinct key
+    count, plus one ERR row for the error port. Oracle: DuckDB json
+    functions classify the SAME persisted JSON values. (Non-JSON
+    malformed rows are exercised in tests/test_streaming_sources.py —
+    DuckDB's json_extract raises on them, so the oracle set sticks to
+    valid-JSON-but-invalid envelopes.)"""
+    from dlp_plugins_spark.sources.cdc_json import (
+        parse_debezium, to_debezium_json,
+    )
+
+    payload = T.StructType([
+        f for f in B.BINLOG_SCHEMA.fields
+        if f.name not in ("op", "lsn", "batch_id")
+    ])
+    ev = B.generate_binlog(spark, 0, 3000, n_repos=20, paths_per_repo=30,
+                           batch_size=1000)
+    good = to_debezium_json(ev, B.TABLE_KEY)
+    bad = spark.createDataFrame(
+        [('{"op":"x","after":{"repo":"r","path":"p"},"source":{"lsn":1}}',),
+         ('{"op":"u","after":{"repo":"r","path":"p"}}',),
+         ('{"op":"u","before":null,"after":null,"source":{"lsn":5}}',),
+         ('{"op":"d","before":null,"after":null,"source":{"lsn":6}}',)],
+        "value string")
+    vals_dir = os.path.join(ORACLE_TMP, "debezium_values")
+    good.unionByName(bad).coalesce(4).write.mode("overwrite") \
+        .parquet(vals_dir)
+    vals = spark.read.parquet(vals_dir)
+    events, errors = parse_debezium(vals, payload, B.TABLE_KEY)
+    ev_agg = events.groupBy("op").agg(
+        F.count("*").alias("n"),
+        F.min("lsn").alias("min_lsn"),
+        F.max("lsn").alias("max_lsn"),
+        F.countDistinct("repo", "path").alias("n_keys"),
+    )
+    err_agg = errors.agg(F.count("*").alias("n")).select(
+        F.lit("ERR").alias("op"), "n",
+        F.lit(None).cast("long").alias("min_lsn"),
+        F.lit(None).cast("long").alias("max_lsn"),
+        F.lit(0).cast("long").alias("n_keys"),
+    )
+    return ev_agg.unionByName(err_agg).orderBy("op")
+
+
+SQL_CDC_DEBEZIUM_PARSE = f"""
+WITH src AS (
+  SELECT value FROM read_parquet('{ORACLE_TMP}/debezium_values/*.parquet')),
+p AS (
+  SELECT json_extract_string(value, '$.op') AS dop,
+         TRY_CAST(json_extract(value, '$.source.lsn') AS BIGINT) AS lsn,
+         json_type(value, '$.after') AS at,
+         json_type(value, '$.before') AS bt,
+         CASE WHEN json_extract_string(value, '$.op') = 'd'
+              THEN json_extract_string(value, '$.before.repo')
+              ELSE json_extract_string(value, '$.after.repo') END AS repo,
+         CASE WHEN json_extract_string(value, '$.op') = 'd'
+              THEN json_extract_string(value, '$.before.path')
+              ELSE json_extract_string(value, '$.after.path') END AS path
+  FROM src),
+cls AS (
+  SELECT CASE
+           WHEN dop IS NULL OR dop NOT IN ('c','r','u','d') OR lsn IS NULL
+                OR (dop = 'd' AND (bt IS NULL OR bt = 'NULL'))
+                OR (dop <> 'd' AND (at IS NULL OR at = 'NULL'))
+           THEN 'ERR'
+           WHEN dop IN ('c','r') THEN 'I'
+           WHEN dop = 'u' THEN 'U'
+           ELSE 'D' END AS op,
+         lsn, repo, path
+  FROM p),
+cls2 AS (
+  SELECT op,
+         CASE WHEN op = 'ERR' THEN NULL ELSE lsn END AS lsn,
+         CASE WHEN op = 'ERR' THEN NULL ELSE repo END AS repo,
+         CASE WHEN op = 'ERR' THEN NULL ELSE path END AS path
+  FROM cls)
+SELECT op, count(*) AS n, min(lsn) AS min_lsn, max(lsn) AS max_lsn,
+       count(DISTINCT repo || '|' || path) AS n_keys
+FROM cls2 GROUP BY op ORDER BY op
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing local fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03;
     functions/text.py:winnow_fingerprints): md5 char-8-gram hashes,
@@ -1363,10 +1456,10 @@ FROM sel GROUP BY doc_id ORDER BY doc_id
 """
 
 
-# Fixed locations the CDC oracles read: the queries persist the exact
-# binlog they replay, so DuckDB folds the SAME events (arg_max by LSN per
-# key, tombstones dropped) that the engine merged.
-ORACLE_TMP = "/tmp/spark_graft_oracle"
+# (ORACLE_TMP is defined above q_cdc_debezium_parse; the CDC replay
+# oracles below persist the exact binlog they replay there, so DuckDB
+# folds the SAME events — arg_max by LSN per key, tombstones dropped —
+# that the engine merged.)
 
 
 def q_cdc_schema_evolution(spark, sf_dir):
@@ -1650,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "cdc_debezium_parse": q_cdc_debezium_parse,
         # genuinely non-SQL-expressible (rows-only; the driver runs at
         # most 50 queries, so the 50 oracle-backed entries above come
         # first — these 4 are attested by the identical local pytest
@@ -1719,4 +1813,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_evolution": SQL_CDC_SCHEMA_EVOLUTION,
         "minhash_near_dup_pairs": SQL_MINHASH_NEAR_DUP,
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+        "cdc_debezium_parse": SQL_CDC_DEBEZIUM_PARSE,
     }

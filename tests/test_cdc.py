@@ -939,11 +939,11 @@ def test_bucket_merge_path_equals_agg(spark, tmp_path):
     assert g.sort_index().fillna("∅").equals(o.sort_index().fillna("∅"))
 
 
-def test_bucket_merge_path_carryover_across_arrow_batches(spark, tmp_path):
-    """One key's event run must survive Arrow batch splits inside the
-    linear-scan LWW: replay a single-key storm (every event the same
-    key) larger than the Arrow batch size — exactly one winner row, the
-    max-LSN one, must come out."""
+def test_bucket_merge_path_single_key_storm(spark, tmp_path):
+    """A single-key storm (every event the same key, bigger than any
+    internal batching granularity) through the bucket-aligned merge:
+    exactly one winner row, the max-LSN one, must come out — exercising
+    the window LWW on a one-key, one-bucket partition end to end."""
     import pyspark.sql.types as T
 
     from dlp_plugins_spark.cdc.merge import merge_batch

@@ -390,3 +390,66 @@ def test_streaming_sessionize_out_of_order_within_watermark(spark, tmp_path):
         ("u2", ts(200), ts(260), 3, 6.0),   # bridged by the 230 event
     }
     assert got == expect
+
+
+def test_debezium_roundtrip_replay_hash(spark, tmp_path):
+    """binlog events -> Debezium envelope JSON -> parse_debezium ->
+    replay must produce the exact same final state as replaying the
+    original events (the adapter is lossless for the engine's needs)."""
+    import pyspark.sql.types as T
+
+    from dlp_plugins_spark.cdc import binlog as B
+    from dlp_plugins_spark.cdc.lake import LakeTable
+    from dlp_plugins_spark.cdc.replay import (
+        replay, spark_state_pdf, state_hash,
+    )
+    from dlp_plugins_spark.sources.cdc_json import (
+        parse_debezium, to_debezium_json,
+    )
+
+    GEN = dict(n_repos=15, paths_per_repo=20)
+    payload = T.StructType([f for f in B.BINLOG_SCHEMA.fields
+                            if f.name not in ("op", "lsn", "batch_id")])
+    ev = B.generate_binlog(spark, 0, 3000, **GEN, batch_size=1000)
+    js = to_debezium_json(ev, B.TABLE_KEY)
+    parsed, errors = parse_debezium(js, payload, B.TABLE_KEY)
+    assert errors.count() == 0
+    parsed = parsed.withColumn(
+        "batch_id", (parsed["lsn"] / 1000).cast("long"))
+
+    t_direct = LakeTable.create(str(tmp_path / "direct"), payload,
+                                B.TABLE_KEY, n_buckets=8)
+    t_dbz = LakeTable.create(str(tmp_path / "dbz"), payload,
+                             B.TABLE_KEY, n_buckets=8)
+    replay(spark, t_direct, 0, 3000, batch_size=1000, gen_kwargs=GEN)
+    replay(spark, t_dbz, 0, 3000, batch_size=1000, events_df=parsed)
+    assert state_hash(spark_state_pdf(spark, t_direct)) == \
+        state_hash(spark_state_pdf(spark, t_dbz))
+
+
+def test_debezium_error_port(spark):
+    """Malformed JSON, unknown ops, missing lsn, and null row images go
+    to the error port; none silently drop, none reach the event side."""
+    import pyspark.sql.types as T
+
+    from dlp_plugins_spark.cdc import binlog as B
+    from dlp_plugins_spark.sources.cdc_json import parse_debezium
+
+    payload = T.StructType([f for f in B.BINLOG_SCHEMA.fields
+                            if f.name not in ("op", "lsn", "batch_id")])
+    rows = [
+        ('not json at all {',),
+        ('{"op":"x","after":{"repo":"r","path":"p"},"source":{"lsn":1}}',),
+        ('{"op":"u","after":{"repo":"r","path":"p"}}',),
+        ('{"op":"u","before":null,"after":null,"source":{"lsn":5}}',),
+        ('{"op":"d","before":null,"after":null,"source":{"lsn":6}}',),
+        ('{"op":"c","after":{"repo":"r","path":"p","commit":"c","lang":"py",'
+         '"content":"ok"},"source":{"lsn":9}}',),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    events, errors = parse_debezium(df, payload, B.TABLE_KEY)
+    assert events.count() == 1
+    got = events.first()
+    assert (got["op"], got["lsn"], got["repo"]) == ("I", 9, "r")
+    assert errors.count() == 5
+    assert set(errors.columns) == {"value"}
