@@ -3,14 +3,14 @@
 ``entry(spark)`` — flagship: DLP redaction pipeline over sf0.001 docs.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 incl.
 §2.7 engine-added ops + the training-data-pipeline operators); each
-callable (spark, sf_dir) -> DF. 56 entries, ordered so the oracle-backed
+callable (spark, sf_dir) -> DF. 57 entries, ordered so the oracle-backed
 ones precede the rows-only ones (the correctness driver runs at most 50
-queries; oracle-backed entries 51-52 — winnow_fingerprints and
-cdc_debezium_parse — are attested by the identical local gate in
-tests/test_entry_oracle.py).
+queries; oracle-backed entries 51-53 — winnow_fingerprints,
+cdc_debezium_parse, repetition_quality — are attested by the identical
+local gate in tests/test_entry_oracle.py).
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/aliases both sides; floats rounded identically).
-52 entries; this includes planted-fixture oracles (embedding/minhash
+53 entries; this includes planted-fixture oracles (embedding/minhash
 near-dups, lang-ID), persisted-binlog replication (CDC replay + schema
 evolution), aggregate round-trip invariants (FPE / deterministic
 encryption), and the portable context-keyed date shift. The 4 queries
@@ -1323,6 +1323,52 @@ FROM range(0, 128) t(media_id)
 """
 
 
+def q_repetition_quality(spark, sf_dir):
+    """Gopher/RefinedWeb-style repetition quality signals
+    (functions/text.py:repetition_features): duplicate-line fraction and
+    most-frequent-bigram fraction per document, computed entirely as JVM
+    array expressions (array_distinct; array_sort + one aggregate()
+    linear scan for the longest equal run — no explode, no shuffle
+    before the final sort). The standard pre-training boilerplate/spam
+    filter signals, oracle-checked against DuckDB list functions."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.repetition_features(docs).orderBy("doc_id")
+
+
+SQL_REPETITION_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id,
+         str_split(text, chr(10)) AS lines,
+         str_split(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+b AS (
+  SELECT doc_id, lines, w,
+         CASE WHEN len(w) < 2 THEN []
+              ELSE [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+         END AS bigrams
+  FROM t),
+topf AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, bg, count(*) AS c
+    FROM (SELECT doc_id, unnest(bigrams) AS bg FROM b)
+    GROUP BY doc_id, bg)
+  GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(w) AS INT) AS n_words,
+       round(CASE WHEN len(lines) <= 0 THEN 0.0
+                  ELSE (len(lines) - len(list_distinct(lines)))
+                       / CAST(len(lines) AS DOUBLE) END, 6) AS dup_line_frac,
+       round(CASE WHEN len(bigrams) <= 0 THEN 0.0
+                  ELSE coalesce(topf.top_c, 0)
+                       / CAST(len(bigrams) AS DOUBLE) END, 6)
+           AS top_bigram_frac
+FROM b LEFT JOIN topf ON b.doc_id = topf.doc_id
+ORDER BY b.doc_id
+"""
+
+
 # Fixed location the CDC/source-adapter oracles read: the queries
 # persist the exact data they process, so DuckDB classifies/folds the
 # SAME bytes the engine did.
@@ -1744,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "winnow_fingerprints": q_winnow_fingerprints,
         "cdc_debezium_parse": q_cdc_debezium_parse,
+        "repetition_quality": q_repetition_quality,
         # genuinely non-SQL-expressible (rows-only; the driver runs at
         # most 50 queries, so the 50 oracle-backed entries above come
         # first — these 4 are attested by the identical local pytest
@@ -1814,4 +1861,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup_pairs": SQL_MINHASH_NEAR_DUP,
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
         "cdc_debezium_parse": SQL_CDC_DEBEZIUM_PARSE,
+        "repetition_quality": SQL_REPETITION_QUALITY,
     }

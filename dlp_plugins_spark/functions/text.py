@@ -264,3 +264,100 @@ def winnow_fingerprints(df, text_col: str = "text", k: int = 8, w: int = 16,
     return hdf.select(
         *keep, F.explode(F.array_distinct(wins)).alias(out)
     )
+
+
+def repetition_features(df, text_col: str = "text",
+                        id_cols: list[str] | None = None):
+    """Within-document repetition signals used by public web-corpus
+    quality filters (Gopher, Rae et al. 2021 §A1.1; RefinedWeb,
+    Penedo et al. 2023): documents dominated by repeated lines or a
+    single repeated n-gram are boilerplate/spam and get filtered before
+    training. All JVM array expressions — no Python, no shuffle:
+
+    - ``dup_line_frac``: fraction of lines that are duplicates of an
+      earlier line (0 when every line is distinct);
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over total bigrams (computed via array_sort + one aggregate()
+      linear scan for the longest equal run — no explode/groupBy);
+    - ``n_lines``, ``n_words`` for downstream thresholds.
+    """
+    keep = id_cols if id_cols is not None else [
+        c for c in df.columns if c != text_col
+    ]
+    base = df.select(
+        *keep,
+        F.split(F.col(text_col), "\n").alias("_lines"),
+        F.split(normalize_text(text_col), " ").alias("_w"),
+    )
+    n_lines = F.size("_lines")
+    n_words = F.size("_w")
+    dup_line_frac = F.when(n_lines <= 0, F.lit(0.0)).otherwise(
+        (n_lines - F.size(F.array_distinct("_lines")))
+        / n_lines.cast("double")
+    )
+    n_bi = n_words - F.lit(1)
+    bigrams = F.when(n_words < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_bi, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_w", i), F.element_at("_w", i + 1)),
+        )
+    )
+    with_bi = base.select(
+        *keep, "_lines", "_w", F.array_sort(bigrams).alias("_bi"))
+    # longest run of equal adjacent elements in the sorted bigram array
+    # == max frequency of any bigram; one aggregate() pass, no shuffle
+    run = F.aggregate(
+        "_bi",
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+             .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_bi_actual = F.size("_bi")
+    top_bigram_frac = F.when(n_bi_actual <= 0, F.lit(0.0)).otherwise(
+        run / n_bi_actual.cast("double"))
+    return with_bi.select(
+        *keep,
+        F.size("_lines").alias("n_lines"),
+        F.size("_w").alias("n_words"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+    )
+
+
+def compression_ratio(df, text_col: str = "text",
+                      out: str = "compression_ratio"):
+    """zlib-compressed-size / raw-size per document — the classic
+    gibberish/boilerplate discriminator (highly repetitive text
+    compresses far below ~0.4; random or natural text sits higher).
+    zlib level 6 output is deterministic for a given input, so the
+    column is stable across runs/partitions. Arrow-batched pandas UDF
+    (zlib is stdlib C — ~100 MB/s/core; fine for a quality stage that
+    reads every byte once)."""
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            b = t.encode("utf-8")
+            return len(zlib.compress(b, 6)) / len(b)
+
+        return texts.map(one)
+
+    return df.withColumn(out, F.round(_ratio(F.col(text_col)), 6))

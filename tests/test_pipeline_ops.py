@@ -587,3 +587,43 @@ def test_winnow_guarantee_shared_substring(spark):
     got = winnow_fingerprints(df, "text").toPandas()
     s = {d: set(got[got.doc_id == d].fingerprint) for d, _ in rows}
     assert s[1] & s[2]
+
+
+def test_repetition_features_known_values(spark):
+    """Gopher-style repetition signals against hand-computed values."""
+    from dlp_plugins_spark.functions.text import repetition_features
+
+    rows = [
+        (1, "a b c d e f g h"),               # 7 distinct bigrams
+        (2, "spam spam spam spam spam spam"),  # 5x the same bigram
+        (3, "line1\nline2\nline1\nline1"),     # 2 of 4 lines are dups
+        (4, ""),
+        (5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           repetition_features(df).orderBy("doc_id").collect()}
+    assert abs(got[1]["top_bigram_frac"] - 1 / 7) < 1e-5
+    assert got[2]["top_bigram_frac"] == 1.0
+    assert got[3]["dup_line_frac"] == 0.5
+    assert abs(got[3]["top_bigram_frac"] - 1 / 3) < 1e-5
+    assert got[4]["top_bigram_frac"] == 0.0
+    assert got[5]["dup_line_frac"] == 0.0
+
+
+def test_compression_ratio_discriminates(spark):
+    """zlib ratio separates repetitive text from varied text, is
+    deterministic, and passes nulls/empties through as null."""
+    from dlp_plugins_spark.functions.text import compression_ratio
+
+    varied = " ".join(f"token{i}unique{i * 7919 % 997}" for i in range(400))
+    rows = [(1, "spam " * 2000), (2, varied), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["compression_ratio"] for r in
+           compression_ratio(df).collect()}
+    assert got[1] < 0.05          # highly repetitive compresses away
+    assert got[2] > 0.15 and got[2] > 10 * got[1]   # varied text does not
+    assert got[3] is None and got[4] is None
+    again = {r["doc_id"]: r["compression_ratio"] for r in
+             compression_ratio(df).collect()}
+    assert got == again           # deterministic
