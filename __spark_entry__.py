@@ -96,62 +96,53 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_redact_emails(spark, sf_dir):
+    """REDACT on text + whole-value REPLACE_VALUE on source, applied as ONE
+    multi-transform pipeline (the reference's SensitiveRecordRedaction takes
+    a LIST of transform directives — DlpFieldTransformationConfig parses
+    them jointly). Consolidates the former standalone `replace_value_whole`
+    attestation so both kernels keep a driver-green oracle row inside the
+    50-query window."""
     docs = _pii_text(_read(spark, sf_dir, "documents"))
-    out = apply_transforms(docs, [{
-        "transform": "REDACT", "fields": "text", "filters": "EMAIL_ADDRESS",
-    }])
-    return out.select("doc_id", F.col("text").alias("redacted"))
+    out = apply_transforms(docs, [
+        {"transform": "REDACT", "fields": "text",
+         "filters": "EMAIL_ADDRESS"},
+        {"transform": "REPLACE_VALUE", "fields": "source",
+         "filters": "NONE", "transformProperties": {"newValue": "[SRC]"}},
+    ])
+    return out.select("doc_id", F.col("text").alias("redacted"), "source")
 
 
 SQL_REDACT_EMAILS = f"""
 SELECT doc_id,
        regexp_replace(text || {_PII_SUFFIX_SQL}, '{EMAIL_RE}', '', 'g')
-         AS redacted
+         AS redacted,
+       '[SRC]' AS source
 FROM documents
-"""
-
-
-def q_mask_whole(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
-    out = apply_transforms(docs, [{
-        "transform": "MASKING", "fields": "lang", "filters": "NONE",
-        "transformProperties": {"maskingChar": "#"},
-    }])
-    return out.select("doc_id", "lang")
-
-
-SQL_MASK_WHOLE = """
-SELECT doc_id, repeat('#', length(lang)) AS lang FROM documents
 """
 
 
 def q_mask_keep_digits_ws(spark, sf_dir):
+    """MASKING both ways in one pipeline: charsToIgnore-gated masking of
+    `text` (NUMERIC + WHITESPACE preserved) and whole-value masking of
+    `lang` with a different maskingChar. Consolidates the former standalone
+    `mask_whole` attestation (same kernel, parameter surface unchanged)."""
     docs = _read(spark, sf_dir, "documents")
-    out = apply_transforms(docs, [{
-        "transform": "MASKING", "fields": "text", "filters": "NONE",
-        "transformProperties": {"maskingChar": "*",
-                                "charsToIgnore": ["NUMERIC", "WHITESPACE"]},
-    }])
-    return out.select("doc_id", F.col("text").alias("masked"))
+    out = apply_transforms(docs, [
+        {"transform": "MASKING", "fields": "text", "filters": "NONE",
+         "transformProperties": {"maskingChar": "*",
+                                 "charsToIgnore": ["NUMERIC", "WHITESPACE"]}},
+        {"transform": "MASKING", "fields": "lang", "filters": "NONE",
+         "transformProperties": {"maskingChar": "#"}},
+    ])
+    return out.select(
+        "doc_id", F.col("text").alias("masked"),
+        F.col("lang").alias("lang_masked"))
 
 
 SQL_MASK_KEEP_DIGITS_WS = r"""
-SELECT doc_id, regexp_replace(text, '[^0-9\s]', '*', 'g') AS masked
+SELECT doc_id, regexp_replace(text, '[^0-9\s]', '*', 'g') AS masked,
+       repeat('#', length(lang)) AS lang_masked
 FROM documents
-"""
-
-
-def q_replace_value_whole(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
-    out = apply_transforms(docs, [{
-        "transform": "REPLACE_VALUE", "fields": "source", "filters": "NONE",
-        "transformProperties": {"newValue": "[SRC]"},
-    }])
-    return out.select("doc_id", "source")
-
-
-SQL_REPLACE_VALUE_WHOLE = """
-SELECT doc_id, '[SRC]' AS source FROM documents
 """
 
 
@@ -191,42 +182,38 @@ SELECT doc_id, sha256(text) AS text_sha FROM documents
 
 
 def q_date_shift_events(spark, sf_dir):
-    ev = _read(spark, sf_dir, "events")
-    out = apply_transforms(ev, [{
-        "transform": "DATE_SHIFT", "fields": "ts", "filters": "NONE",
-        "transformProperties": {"keyType": "TRANSIENT", "name": "entry-shift",
-                                "lowerBoundDays": 30, "upperBoundDays": 400},
-    }])
-    return out.select("event_id", F.col("ts").alias("ts_shifted"))
-
-
-SQL_DATE_SHIFT_EVENTS = f"""
-SELECT event_id, ts + INTERVAL '{SHIFT_DAYS} days' AS ts_shifted FROM events
-"""
-
-
-def q_date_shift_epoch_days(spark, sf_dir):
-    """DATE_SHIFT on an int/long PHYSICAL type (ref
-    DateShiftTransformationConfig.java:36 supports INT/LONG): the ts
-    column as bigint epoch-days, shifted in the column's own unit via
-    the `epochUnit` property."""
+    """DATE_SHIFT on BOTH physical representations in one pipeline: the
+    native timestamp column, and the same instant as a bigint epoch-days
+    column shifted in its own unit via `epochUnit` (ref
+    DateShiftTransformationConfig.java:36 supports INT/LONG). Consolidates
+    the former standalone `date_shift_epoch_days` attestation — the two
+    columns must agree with the oracle under the SAME transient key."""
     ev = _read(spark, sf_dir, "events").select(
-        "event_id",
+        "event_id", "ts",
         F.datediff(F.col("ts").cast("date"),
                    F.lit("1970-01-01").cast("date"))
         .cast("bigint").alias("epoch_day"),
     )
-    out = apply_transforms(ev, [{
-        "transform": "DATE_SHIFT", "fields": "epoch_day", "filters": "NONE",
-        "transformProperties": {"keyType": "TRANSIENT", "name": "entry-shift",
-                                "lowerBoundDays": 30, "upperBoundDays": 400,
-                                "epochUnit": "days"},
-    }])
-    return out.select("event_id", F.col("epoch_day").alias("epoch_day_shifted"))
+    out = apply_transforms(ev, [
+        {"transform": "DATE_SHIFT", "fields": "ts", "filters": "NONE",
+         "transformProperties": {"keyType": "TRANSIENT",
+                                 "name": "entry-shift",
+                                 "lowerBoundDays": 30,
+                                 "upperBoundDays": 400}},
+        {"transform": "DATE_SHIFT", "fields": "epoch_day", "filters": "NONE",
+         "transformProperties": {"keyType": "TRANSIENT",
+                                 "name": "entry-shift",
+                                 "lowerBoundDays": 30,
+                                 "upperBoundDays": 400,
+                                 "epochUnit": "days"}},
+    ])
+    return out.select(
+        "event_id", F.col("ts").alias("ts_shifted"),
+        F.col("epoch_day").alias("epoch_day_shifted"))
 
 
-SQL_DATE_SHIFT_EPOCH = f"""
-SELECT event_id,
+SQL_DATE_SHIFT_EVENTS = f"""
+SELECT event_id, ts + INTERVAL '{SHIFT_DAYS} days' AS ts_shifted,
        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
             + {SHIFT_DAYS} AS BIGINT) AS epoch_day_shifted
 FROM events
@@ -588,21 +575,6 @@ FROM feat GROUP BY source
 """
 
 
-def q_exact_dedup_groups(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
-    return (
-        docs.select(TX.fingerprint_md5("text").alias("fp"), "doc_id")
-        .groupBy("fp")
-        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
-    )
-
-
-SQL_EXACT_DEDUP_GROUPS = r"""
-SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-         '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
-       count(*) AS n_dups, min(doc_id) AS keep_id
-FROM documents GROUP BY fp
-"""
 
 
 def q_brute_force_topk(spark, sf_dir):
@@ -1047,21 +1019,39 @@ FROM documents
 
 
 def q_exact_dedup_keep(spark, sf_dir):
-    """exact_dedup survivor set: one min-id representative per
-    normalized-content fingerprint."""
+    """exact_dedup survivor set JOINED with its group stats: one min-id
+    representative per normalized-content fingerprint, carrying the
+    fingerprint and the duplicate count. Consolidates the former
+    standalone `exact_dedup_groups` attestation — the operator's survivor
+    set and the groupBy-count path must agree (every survivor is its
+    group's min-id keeper, one row per distinct fingerprint) or the
+    inner join drops rows and the oracle hash diverges."""
     docs = _read(spark, sf_dir, "documents")
-    return D.exact_dedup(docs).select("doc_id", "lang", "source")
+    groups = (
+        docs.select(TX.fingerprint_md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+    )
+    kept = D.exact_dedup(docs).select("doc_id", "lang", "source")
+    # NOT broadcast: groups has one row per distinct fingerprint — same
+    # order of magnitude as the corpus. Shuffle join on doc_id/keep_id;
+    # AQE may still downgrade to broadcast at toy scale.
+    return kept.join(
+        groups, kept.doc_id == groups.keep_id
+    ).select("doc_id", "lang", "source", "fp", "n_dups")
 
 
 SQL_EXACT_DEDUP_KEEP = r"""
-SELECT doc_id, lang, source FROM (
+SELECT arg_min(doc_id, doc_id) AS doc_id,
+       arg_min(lang, doc_id) AS lang,
+       arg_min(source, doc_id) AS source,
+       fp, count(*) AS n_dups
+FROM (
   SELECT doc_id, lang, source,
-         row_number() OVER (
-           PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
-             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
-           ORDER BY doc_id) AS rn
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
   FROM documents)
-WHERE rn = 1
+GROUP BY fp
 """
 
 
@@ -1600,6 +1590,75 @@ FROM pairs WHERE j >= 0.9 ORDER BY a_id
 """
 
 
+def q_winnow_near_dup_pairs(spark, sf_dir):
+    """Winnowing-fingerprint near-dup pairs (operators/dedup.py:
+    winnow_near_dup_pairs), ORACLE-ATTESTED end-to-end: the 10 lowest
+    doc_ids re-enter with id+3,000,000 and one appended token (planted
+    pairs sharing nearly every >= 23-char substring), and DuckDB
+    replays the ENTIRE pipeline bit-for-bit — md5 winnow fingerprints,
+    the max_df stop-fingerprint cap, the min_shared >= 2 candidate
+    filter, and the exact char-3-gram Jaccard verify — so candidates
+    AND scores must agree exactly (every stage is deterministic and
+    SQL-expressible; md5 was chosen for precisely this)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzwinnowtoken")).alias("text"),
+    )
+    allv = docs.unionByName(planted)
+    out = D.winnow_near_dup_pairs(
+        allv, k=8, w=16, n=3, threshold=0.8, min_shared=2, max_df=100)
+    return out.select(
+        "a_id", "b_id", "n_shared",
+        F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("a_id", "b_id")
+
+
+SQL_WINNOW_NEAR_DUP_PAIRS = r"""
+WITH av AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text || ' zzwinnowtoken' AS text
+  FROM documents WHERE doc_id < 10),
+t AS (SELECT doc_id, lower(text) AS t FROM av),
+g0 AS (SELECT doc_id, t,
+              unnest(range(1, greatest(length(t) - 7, 0) + 1)) AS i
+       FROM t),
+g AS (SELECT doc_id, i, md5(substring(t, CAST(i AS INT), 8)) AS h,
+             length(t) - 7 AS n_grams
+      FROM g0),
+wm AS (SELECT doc_id, i, n_grams,
+              min(h) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wfp,
+              min(h) OVER (PARTITION BY doc_id) AS allfp
+       FROM g),
+sel AS (SELECT DISTINCT doc_id,
+               CASE WHEN n_grams < 16 THEN allfp ELSE wfp END AS fp
+        FROM wm WHERE i <= greatest(n_grams - 15, 1)),
+rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 100),
+sf AS (SELECT s.doc_id, s.fp FROM sel s JOIN rare r ON s.fp = r.fp),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+  FROM sf a JOIN sf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+gr AS (SELECT doc_id,
+              list_distinct([substring(t, i, 3)
+                             for i in range(1, length(t) - 1)]) AS s
+       FROM t),
+ver AS (
+  SELECT c.a_id, c.b_id, c.n_shared,
+         CASE WHEN len(list_distinct(a.s || b.s)) > 0
+              THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(a.s || b.s))
+              ELSE 0.0 END AS j
+  FROM cand c
+  JOIN gr a ON c.a_id = a.doc_id
+  JOIN gr b ON c.b_id = b.doc_id)
+SELECT a_id, b_id, n_shared, round(j, 6) AS jaccard
+FROM ver WHERE j >= 0.8 ORDER BY a_id, b_id
+"""
+
+
 def q_simhash_docs(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return D.simhash(docs).select("doc_id", "simhash")
@@ -1678,6 +1737,24 @@ def q_ann_topk_ivf(spark, sf_dir):
     return S.ivf_topk(emb, queries, dim=64, k=5, n_lists=16, n_probe=6)
 
 
+def q_ann_topk_ivf_distributed(spark, sf_dir):
+    """IVF ANN with the DISTRIBUTED k-means trainer
+    (similarity.py:train_ivf_centroids_distributed): full-corpus Lloyd
+    iterations via mapInPandas partial sums (shuffle O(partitions x
+    n_lists x dim), never O(rows)) — the path for n_lists beyond the
+    bit-stable 4k-sample regime. n_lists=64 at this corpus size keeps
+    ~corpus/64 vectors per list, so n_probe=24 preserves recall
+    (recall-vs-brute-force gate in tests/test_pipeline_ops.py).
+    Rows-only: distributed float-sum combine order makes final-ULP
+    centroid bits run-dependent, so exact values are not
+    oracle-expressible."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return S.ivf_topk(emb, queries, dim=64, k=5, n_lists=64, n_probe=24,
+                      train="distributed")
+
+
 def q_cdc_replay_state(spark, sf_dir):
     """End-to-end engine flagship: generate a binlog, replay it through
     the DLP apply stage into a throwaway lake table, return final state
@@ -1730,15 +1807,16 @@ ORDER BY repo, path
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # reference-semantics DLP operators (SURVEY.md §2.1-2.3)
+        # reference-semantics DLP operators (SURVEY.md §2.1-2.3).
+        # redact_emails also attests REPLACE_VALUE, mask_keep_digits_ws
+        # also attests whole-value masking, date_shift_events also attests
+        # epoch-days shifting — consolidated so every oracle-backed entry
+        # fits the driver's 50-query window (see queries() docstring).
         "redact_emails": q_redact_emails,
-        "mask_whole": q_mask_whole,
         "mask_keep_digits_ws": q_mask_keep_digits_ws,
-        "replace_value_whole": q_replace_value_whole,
         "split_sensitive_by_lang": q_split_sensitive_by_lang,
         "content_sha256": q_content_sha256,
         "date_shift_events": q_date_shift_events,
-        "date_shift_epoch_days": q_date_shift_epoch_days,
         # CDC / relational engine ops (SURVEY.md §2.6)
         "lww_latest_event_per_user": q_lww_latest_event_per_user,
         "cdc_final_state_users": q_cdc_final_state_users,
@@ -1769,7 +1847,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_by_lang": q_token_stats_by_lang,
         "quality_by_source": q_quality_by_source,
         # dedup & similarity
-        "exact_dedup_groups": q_exact_dedup_groups,
         "exact_dedup_keep": q_exact_dedup_keep,
         "char_ngram_jaccard": q_char_ngram_jaccard,
         "near_dup_components": q_near_dup_components,
@@ -1791,28 +1868,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "cdc_debezium_parse": q_cdc_debezium_parse,
         "repetition_quality": q_repetition_quality,
+        "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
         # genuinely non-SQL-expressible (rows-only; the driver runs at
-        # most 50 queries, so the 50 oracle-backed entries above come
-        # first — these 4 are attested by the identical local pytest
-        # gate, tests/test_entry_oracle.py):
+        # most 50 queries, so ALL oracle-backed entries come first — the
+        # ordering invariant is test-asserted by
+        # tests/test_entry_oracle.py::test_oracle_queries_fit_driver_cap.
+        # These are attested by the identical local pytest gate instead:
         # - simhash signatures hinge on numpy-specific hashing DuckDB
         #   cannot reproduce; pigeonhole/known-value tests in
         #   tests/test_pipeline_ops.py
         # - ANN top-k is approximate by design; recall-vs-brute-force
-        #   gates in tests/test_pipeline_ops.py
+        #   gates in tests/test_pipeline_ops.py (the _distributed variant
+        #   exercises the k-means|| trainer at n_lists beyond the 4k
+        #   sample regime)
         "simhash_docs": q_simhash_docs,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivf_distributed": q_ann_topk_ivf_distributed,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "redact_emails": SQL_REDACT_EMAILS,
-        "mask_whole": SQL_MASK_WHOLE,
         "mask_keep_digits_ws": SQL_MASK_KEEP_DIGITS_WS,
-        "replace_value_whole": SQL_REPLACE_VALUE_WHOLE,
         "split_sensitive_by_lang": SQL_SPLIT_SENSITIVE_BY_LANG,
         "content_sha256": SQL_CONTENT_SHA256,
         "date_shift_events": SQL_DATE_SHIFT_EVENTS,
@@ -1825,7 +1905,6 @@ def oracle_sql() -> dict[str, str]:
         "top5_orders_per_status": SQL_TOP5_ORDERS,
         "token_stats_by_lang": SQL_TOKEN_STATS,
         "quality_by_source": SQL_QUALITY_BY_SOURCE,
-        "exact_dedup_groups": SQL_EXACT_DEDUP_GROUPS,
         "brute_force_topk": SQL_BRUTE_FORCE_TOPK,
         "top_similar_pairs": SQL_TOP_SIMILAR_PAIRS,
         "finding_counts_by_lang": SQL_FINDING_COUNTS,
@@ -1847,7 +1926,6 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles_by_type": SQL_VALUE_PERCENTILES,
         "char_ngram_jaccard": SQL_CHAR_NGRAM_JACCARD,
         "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
-        "date_shift_epoch_days": SQL_DATE_SHIFT_EPOCH,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "crypto_hash_langs": SQL_CRYPTO_HASH_INVARIANTS,
         "fpe_roundtrip": SQL_FPE_ROUNDTRIP,
@@ -1862,4 +1940,5 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
         "cdc_debezium_parse": SQL_CDC_DEBEZIUM_PARSE,
         "repetition_quality": SQL_REPETITION_QUALITY,
+        "winnow_near_dup_pairs": SQL_WINNOW_NEAR_DUP_PAIRS,
     }

@@ -94,12 +94,21 @@ def _bucket_lww(df: DataFrame, key_cols: list[str],
     )
     w = Window.partitionBy("_bucket").orderBy(*key_cols, LSN_COL)
     nxt = [F.lead(F.col(c)).over(w) for c in key_cols]
-    is_last = F.coalesce(
-        ~(
-            F.struct(*[F.col(c) for c in key_cols])
-            == F.struct(*nxt)
-        ),
-        F.lit(True),
+    # A row is its key's winner when (a) it is the GENUINE last row of the
+    # partition — detected null-safely via lead(lit(1)), because comparing
+    # the key struct against the all-NULL lead struct is NOT reliable: for
+    # a key whose columns are all NULL, Spark's struct equality treats the
+    # NULL fields as equal and the comparison reads "same key", silently
+    # dropping the group's winner — or (b) the next row's key differs.
+    is_last = (
+        F.lead(F.lit(1)).over(w).isNull()
+        | F.coalesce(
+            ~(
+                F.struct(*[F.col(c) for c in key_cols])
+                == F.struct(*nxt)
+            ),
+            F.lit(True),
+        )
     )
     return srt.withColumn("_is_last", is_last) \
               .filter(F.col("_is_last")).drop("_is_last")
@@ -279,8 +288,15 @@ def _merge_once(
             # sort + JVM window LWW (tombstones kept), written directly —
             # the dedup exchange and the write repartition collapse
             # into one layout-aligned shuffle.
-            deduped = _bucket_lww(fresh.drop("batch_id"), table.key_cols,
-                                  len(touched))
+            batch_side = fresh.drop("batch_id")
+            if salted_eff:
+                # same hot-key guard as the MOW bucket path: pre-reduce a
+                # single-key storm with the salted two-phase LWW so the
+                # storm bucket's sort task receives winners, not the
+                # whole storm.
+                batch_side = lww_dedup(batch_side, table.key_cols,
+                                       salted=True)
+            deduped = _bucket_lww(batch_side, table.key_cols, len(touched))
         else:
             deduped = lww_dedup(fresh.drop("batch_id"), table.key_cols,
                                 salted=salted_eff)

@@ -240,9 +240,15 @@ def winnow_fingerprints(df, text_col: str = "text", k: int = 8, w: int = 16,
     ]
     tdf = df.select(*keep, F.lower(F.col(text_col)).alias("_t"))
     n_grams = F.length(F.col("_t")) - F.lit(k) + F.lit(1)
+    # NULL text must emit NO rows (same convention as short docs, and what
+    # the DuckDB oracle produces): n_grams is NULL for NULL text, so the
+    # `< 1` test alone is NULL and would fall through to the otherwise
+    # branch, yielding a spurious [md5(NULL)] = [NULL] fingerprint.
     hdf = tdf.select(
         *keep,
-        F.when(n_grams < 1, F.array().cast("array<string>")).otherwise(
+        F.when(
+            n_grams.isNull() | (n_grams < 1), F.array().cast("array<string>")
+        ).otherwise(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
                 lambda i: F.md5(F.col("_t").substr(i, F.lit(k))),
@@ -252,7 +258,7 @@ def winnow_fingerprints(df, text_col: str = "text", k: int = 8, w: int = 16,
     n_h = F.size(F.col("_h"))
     n_wins = n_h - F.lit(w) + F.lit(1)
     wins = (
-        F.when(n_h < 1, F.array().cast("array<string>"))
+        F.when(n_h.isNull() | (n_h < 1), F.array().cast("array<string>"))
         .when(n_h < w, F.array(F.array_min(F.col("_h"))))
         .otherwise(
             F.transform(

@@ -198,6 +198,14 @@ class _HybridConstReplacer:
         self._p_union = "|".join(alt(d) for d in p_dets)
         self._pre_r = Prescan(r_dets) if r_dets else None
         self._use_re2 = bool(p_dets)
+        # ASCII-parity guard: Python compiles the union with re.ASCII, so
+        # (?i:) folds ASCII only, while RE2's (?i:) applies Unicode simple
+        # case folding (U+017F 'ſ'->s, U+212A KELVIN->k, ...). When any P
+        # detector is case-insensitive, rows containing non-ASCII bytes
+        # must take the exact Python path — the check is one vectorized
+        # pyarrow string_is_ascii pass, and real-world non-ASCII rows are
+        # rare in the hot corpus.
+        self._p_has_icase = any(d.flags & re.IGNORECASE for d in p_dets)
 
     def _sub_python(self, values: pd.Series) -> pd.Series:
         rep = self._replacement
@@ -223,6 +231,11 @@ class _HybridConstReplacer:
 
                 r_mask = self._pre_r(hv) if self._pre_r is not None \
                     else pd.Series(False, index=hv.index)
+                if self._p_has_icase:
+                    ascii_ok = pc.string_is_ascii(
+                        pa.array(hv, type=pa.string())).to_pandas()
+                    ascii_ok.index = hv.index
+                    r_mask = r_mask | ~ascii_ok.fillna(True)
                 re2_rows = hv[~r_mask]
                 py_rows = hv[r_mask]
                 if len(re2_rows):

@@ -239,6 +239,66 @@ def char_ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     )
 
 
+def winnow_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 8, w: int = 16,
+                          n: int = 3, threshold: float = 0.6,
+                          min_shared: int = 2,
+                          max_df: int = 100) -> DataFrame:
+    """Third near-dup family (next to minhash-LSH and simhash):
+    winnowing-fingerprint candidate generation + exact char-n-gram
+    Jaccard verification. Winnowing (SIGMOD'03; see
+    functions/text.py:winnow_fingerprints) guarantees that any shared
+    substring of length >= k + w - 1 between two documents shares a
+    selected fingerprint, so fingerprint equality is a high-recall,
+    join-shaped candidate signal for documents that share long literal
+    runs — the regime (templated/boilerplate corpora, code) where
+    word-shingle minhash under-triggers.
+
+    Shape: fingerprints (JVM array exprs, no shuffle) -> equi-join on
+    the fingerprint value, pairs sharing >= ``min_shared`` fingerprints
+    survive -> only candidates pay the exact n-gram Jaccard verify
+    (candidate-pruned, same as the LSH pipeline).
+
+    Scale controls (100 TB):
+    - **stop-fingerprints**: a fingerprint present in > ``max_df``
+      documents (license headers, shared boilerplate) would alone emit
+      O(df^2) candidate rows from the self-join; those fingerprints are
+      dropped first (one bounded groupBy — the df-cap LSH banding gets
+      implicitly from band width, made explicit here).
+    - ``min_shared`` >= 2 suppresses single-collision accidents before
+      the verify join.
+
+    Returns (a_id, b_id, n_shared, jaccard) at jaccard >= threshold."""
+    from dlp_plugins_spark.functions.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(df.select(id_col, text_col), text_col,
+                              k=k, w=w, id_cols=[id_col], out="_fp")
+    rare = (fps.groupBy("_fp").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df).select("_fp"))
+    fps = fps.join(rare, "_fp", "left_semi")
+    a, b = fps.alias("wa"), fps.alias("wb")
+    cands = (
+        a.join(
+            b,
+            (F.col("wa._fp") == F.col("wb._fp"))
+            & (F.col(f"wa.{id_col}") < F.col(f"wb.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"wa.{id_col}").alias("a_id"),
+            F.col(f"wb.{id_col}").alias("b_id"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    verified = char_ngram_jaccard_pairs(
+        df, cands.select("a_id", "b_id"), text_col, id_col, n=n)
+    return (
+        cands.join(verified, ["a_id", "b_id"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_shared", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -390,7 +450,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src").agg(F.min("comp").alias("_nbr"))
@@ -407,22 +467,33 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             )
         )
         # pointer jump: comp <- min(comp, comp(comp)) — labels are node
-        # ids, so a node's label's label is reachable and <= its label
-        parent = prop.select(F.col("id").alias("_pid"),
-                             F.col("comp").alias("_pcomp"))
-        new = (
-            prop.join(parent, prop.comp == parent._pid, "left")
-            .select(
-                F.col("id"),
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("_pcomp"), F.col("comp"))
-                ).alias("comp"),
-                (F.col("_chg")
-                 + (F.coalesce(F.col("_pcomp"), F.col("comp"))
-                    < F.col("comp")).cast("long")).alias("_chg"),
+        # ids, so a node's label's label is reachable and <= its label.
+        # Gated to round >= 2: on clique-ish near-dup graphs (the common
+        # case) round 1's propagation already reaches the component min,
+        # so a round-1 jump is a pure extra self-join; starting it at
+        # round 2 keeps the O(log diameter) asymptotics for chains while
+        # shaving the common case (round-4 interleaved A/B: identical
+        # outputs, jump_from_r2 <= jump_always <= +10% on walls, same
+        # round count).
+        if it >= 1:
+            parent = prop.select(F.col("id").alias("_pid"),
+                                 F.col("comp").alias("_pcomp"))
+            new = (
+                prop.join(parent, prop.comp == parent._pid, "left")
+                .select(
+                    F.col("id"),
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce(F.col("_pcomp"), F.col("comp"))
+                    ).alias("comp"),
+                    (F.col("_chg")
+                     + (F.coalesce(F.col("_pcomp"), F.col("comp"))
+                        < F.col("comp")).cast("long")).alias("_chg"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
+        else:
+            new = prop.localCheckpoint(eager=True)
         changed = new.agg(F.sum("_chg")).first()[0] or 0
         labels = new.drop("_chg")
         if changed == 0:

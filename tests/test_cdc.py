@@ -982,6 +982,63 @@ def test_bucket_merge_path_mor_equals_agg(spark, tmp_path):
     assert h_a == h_b == _oracle_hash(N)
 
 
+def test_bucket_merge_path_mor_single_key_storm_salted(spark, tmp_path):
+    """MOR + merge_path='bucket' with the hot-key guard forced: the
+    salted pre-reduce must run BEFORE the bucket shuffle (round-4 fix —
+    previously the MOR bucket path ignored salted_eff and a single-key
+    storm landed whole in one sort task). The resolved read-time state
+    must be exactly the max-LSN winner."""
+    from dlp_plugins_spark.cdc.merge import merge_batch
+
+    n = 25_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("lsn"),
+        F.lit("U").alias("op"),
+        F.lit("org/hot").alias("repo"),
+        F.lit("src/one.py").alias("path"),
+        F.concat(F.lit("c"), F.col("id")).alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(F.lit("v"), F.col("id")).alias("content"),
+        F.lit(0).cast("long").alias("batch_id"),
+    )
+    table = _mktable(tmp_path, "storm_mor_bucket")
+    merge_batch(table, df, batch_ids=[0], mode="mor", merge_path="bucket",
+                salted=True)
+    got = spark_state_pdf(spark, table)
+    assert len(got) == 1
+    assert got.iloc[0]["content"] == f"v{n - 1}"
+    assert got.iloc[0]["_lsn"] == n - 1
+
+
+def test_bucket_lww_all_null_keys_keep_winner(spark):
+    """_bucket_lww must keep the max-LSN winner for a key group whose
+    key columns are all NULL (round-4 fix): lead() past the last row
+    yields a struct of NULLs, and Spark's struct equality treats NULL
+    fields as equal, so the struct-comparison last-row test alone reads
+    'same key' and silently drops the group's winner. The genuine-last
+    check (lead(lit(1)) IS NULL) restores parity with the groupBy agg
+    path, which keeps one winner for NULL keys."""
+    from dlp_plugins_spark.cdc.merge import _bucket_lww, lww_dedup
+
+    rows = [
+        (None, None, 10, "a"), (None, None, 20, "b"), (None, None, 5, "c"),
+        ("r1", "p1", 3, "x"), ("r1", "p1", 7, "y"),
+        ("r1", None, 2, "m"), ("r1", None, 9, "n"),  # partial-NULL key
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, lsn long, content string"
+    ).withColumn("_bucket", F.lit(0))
+    got = (_bucket_lww(df, ["repo", "path"], 1)
+           .select("repo", "path", "lsn", "content").toPandas()
+           .sort_values("lsn").reset_index(drop=True))
+    assert len(got) == 3
+    assert set(got["content"]) == {"b", "y", "n"}
+    # parity with the aggregation path
+    agg = (lww_dedup(df.drop("_bucket"), ["repo", "path"])
+           .select("content").toPandas())
+    assert set(agg["content"]) == set(got["content"])
+
+
 def test_bucket_lww_plan_has_single_exchange(spark):
     """The bucket-aligned merge's selling point is ONE exchange: the
     lead() window must reuse the repartition's hash partitioning and the

@@ -50,6 +50,20 @@ ORACLE_KEYS = sorted(E.oracle_sql().keys())
 ROWS_ONLY_KEYS = sorted(set(E.queries()) - set(E.oracle_sql()))
 
 
+def test_oracle_queries_fit_driver_cap():
+    """The driver runs AT MOST the first 50 queries() entries, so the
+    dict's ordering is attestation-load-bearing: every oracle-backed
+    query must sit in the top 50 or it silently loses its driver-green
+    CORRECTNESS row (round-3 lesson — three operators fell past the
+    window). Rows-only queries go strictly after the oracle-backed
+    block."""
+    qkeys = list(E.queries())
+    okeys = set(E.oracle_sql())
+    assert okeys <= set(qkeys), sorted(okeys - set(qkeys))
+    past_cap = sorted(okeys - set(qkeys[:50]))
+    assert not past_cap, f"oracle-backed queries past the 50-cap: {past_cap}"
+
+
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_oracle(spark, name):
     q = E.queries()[name]

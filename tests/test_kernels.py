@@ -347,6 +347,30 @@ def test_hybrid_replace_value_rewrite_escaping():
         assert repl in out[0]
 
 
+def test_hybrid_non_ascii_casefold_parity():
+    """RE2's (?i:) applies UNICODE simple case folding (U+017F 'ſ'->s,
+    U+212A KELVIN->k) while the exact Python union compiles with
+    re.ASCII — so a non-ASCII row that only matches under Unicode
+    folding must take the Python path (and stay unredacted), byte-equal
+    to the pure-Python reference. ASCII rows keep the RE2 fast path."""
+    names = ["US_PASSPORT", "PASSWORD_ASSIGNMENT", "EMAIL_ADDRESS"]
+    vals = pd.Series([
+        "paſſport: 12345678 ok",        # ſ folds to s in RE2 only
+        "PAſſWORD = \"hunter23secret\"",
+        "KELVIN sign before pwd: \"x\"",      # KELVIN folds to k
+        "passport: 12345678",                      # genuine ASCII hit
+        "password = \"hunter23secret\"",
+        "café a@b.co",                        # non-ASCII + real finding
+    ])
+    out = K.redact(names)(vals)
+    ref = _pure_python_const(names, "")(vals)
+    assert ((out == ref) | (out.isna() & ref.isna())).all()
+    assert "12345678" in out[0]       # NOT redacted: ASCII-only semantics
+    assert "12345678" not in out[3]   # ASCII row still redacted via RE2
+    assert "hunter23secret" not in out[4]
+    assert "a@b.co" not in out[5]     # Python path still redacts findings
+
+
 def test_hybrid_python_fallback_matches():
     """With RE2 disabled mid-flight the kernel must fall back to the pure
     Python path and still produce identical output."""

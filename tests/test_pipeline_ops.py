@@ -589,6 +589,58 @@ def test_winnow_guarantee_shared_substring(spark):
     assert s[1] & s[2]
 
 
+def test_winnow_fingerprints_null_text_emits_no_rows(spark):
+    """NULL text must emit NO fingerprint rows (round-4 fix: the
+    n_grams < 1 guard alone is NULL for NULL text and fell through to
+    the gram branch, yielding a spurious (id, NULL) row the DuckDB
+    oracle does not produce)."""
+    from dlp_plugins_spark.functions.text import winnow_fingerprints
+
+    rows = [(1, None), (2, "short"), (3, "x" * 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_fingerprints(df, "text").toPandas()
+    assert not got.fingerprint.isna().any()
+    # doc 1 (NULL) and doc 2 (shorter than k) emit nothing
+    assert set(got.doc_id) == {3}
+
+
+def test_winnow_near_dup_pairs_plants_and_stops(spark):
+    """winnow_near_dup_pairs finds planted near-identical docs, skips
+    unrelated docs, and the max_df stop-fingerprint cap removes
+    boilerplate-driven candidates."""
+    import dlp_plugins_spark.operators.dedup as D
+
+    base = ("the winnowing candidate generator joins documents on "
+            "selected md5 fingerprints and verifies with exact ngram "
+            "jaccard before reporting a near duplicate pair")
+    boiler = "common license header shared by absolutely every file here"
+    rows = (
+        [(1, base + " tail one"), (2, base + " tail two"),
+         (3, "completely unrelated content about cooking pasta dinners "
+             "with tomatoes garlic and fresh basil leaves tonight")]
+        + [(10 + i, boiler + f" unique-{i} " + "z" * (30 + i))
+           for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = D.winnow_near_dup_pairs(df, threshold=0.6, min_shared=2,
+                                  max_df=100).toPandas()
+    assert (1, 2) in set(zip(got.a_id, got.b_id))
+    assert 3 not in set(got.a_id) | set(got.b_id)
+    # boilerplate-heavy fingerprints removed: cap df at 4 so the shared
+    # header's fingerprints (df=8) are dropped; boiler docs differ in
+    # their tails, so with the cap no boiler pair should survive the
+    # candidate stage at min_shared=2 (their only shared fps came from
+    # the header)
+    capped = D.winnow_near_dup_pairs(df, threshold=0.0, min_shared=2,
+                                     max_df=4).toPandas()
+    boiler_ids = set(range(10, 18))
+    boiler_pairs = [
+        p for p in zip(capped.a_id, capped.b_id)
+        if p[0] in boiler_ids and p[1] in boiler_ids
+    ]
+    assert not boiler_pairs, boiler_pairs
+
+
 def test_repetition_features_known_values(spark):
     """Gopher-style repetition signals against hand-computed values."""
     from dlp_plugins_spark.functions.text import repetition_features
