@@ -89,3 +89,68 @@ def stream_replay(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_debezium_replay(
+    spark: SparkSession,
+    table: LakeTable,
+    json_dir: str,
+    checkpoint_dir: str,
+    error_dir: str,
+    transform_spec=None,
+    batch_lsn_size: int = 100_000,
+    max_files_per_trigger: int = 4,
+    payload_schema=None,
+):
+    """Streaming tail over Debezium-envelope JSON line files — the wire-
+    format twin of ``stream_replay``. Each micro-batch parses the
+    envelopes JVM-side (``sources/cdc_json.parse_debezium``), appends
+    unparseable/op-unknown/imageless rows to ``error_dir`` as parquet
+    (the error port stays LIVE in deployment — malformed wire data is
+    quarantined with the raw line intact, never silently dropped), and
+    merges the clean events through the SAME merge path as batch replay.
+
+    Batch ids derive from LSN windows (``lsn // batch_lsn_size``) since
+    the envelope carries no batch id; exactly-once still rests on the
+    manifest's applied-LSN ranges, so re-delivered envelopes (restart,
+    checkpoint loss, at-least-once brokers) are dropped before any
+    write."""
+    import pyspark.sql.types as T
+
+    from dlp_plugins_spark.sources.cdc_json import parse_debezium
+
+    spec = (transform_spec if transform_spec is not None
+            else DEFAULT_TRANSFORM_SPEC)
+    if payload_schema is None:
+        payload_schema = T.StructType([
+            f for f in table.current_snapshot().schema().fields
+            if f.name != "_lsn"
+        ])
+
+    def apply_micro_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        events, errors = parse_debezium(
+            batch_df, payload_schema, table.key_cols)
+        errors.write.mode("append").parquet(error_dir)
+        if events.isEmpty():
+            return
+        tf = (lambda df: apply_transforms(df, spec, mask_col="_fresh")) \
+            if spec else None
+        bids = [
+            r["_b"] for r in events.select(
+                (events.lsn / batch_lsn_size).cast("long").alias("_b")
+            ).distinct().collect()
+        ]
+        merge_batch(table, events, batch_ids=sorted(bids), transform=tf)
+
+    return (
+        spark.readStream
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(json_dir)
+        .writeStream
+        .foreachBatch(apply_micro_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

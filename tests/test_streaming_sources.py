@@ -392,6 +392,86 @@ def test_streaming_sessionize_out_of_order_within_watermark(spark, tmp_path):
     assert got == expect
 
 
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_streaming_sessionize_random_order_equals_batch(spark, tmp_path,
+                                                        seed):
+    """Property test for the interval-merge sessionize rewrite: a
+    seeded-random event set, SHUFFLED across micro-batches in arbitrary
+    (non-chronological) order under a watermark delay spanning the whole
+    horizon, must produce exactly the sessions of an independent
+    single-pass reference over the union — any splice bug in the
+    open-session state (late lowering, bridging, earlier-session
+    insertion) shows up as a set mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from dlp_plugins_spark.streaming.stateful import streaming_sessionize
+
+    rng = np.random.default_rng(seed)
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    users = [f"u{i}" for i in range(5)]
+    n = 120
+    rows = [
+        (users[int(rng.integers(0, len(users)))],
+         (t0 + pd.Timedelta(seconds=int(rng.integers(0, 36_000))))
+         .to_pydatetime(),
+         float(int(rng.integers(1, 100)) / 4.0))  # dyadic: exact sums
+        for _ in range(n)
+    ]
+
+    # independent reference: per-user sort, split on gap > 1800s
+    expect = set()
+    ref = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    for uid, g in ref.groupby("user_id"):
+        g = g.sort_values("ts")
+        ts_s = g["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+        brk = np.empty(len(ts_s), dtype=bool)
+        brk[0] = True
+        brk[1:] = np.diff(ts_s) > 1800
+        seg_id = np.cumsum(brk)
+        for _, s in g.assign(_seg=seg_id).groupby("_seg"):
+            expect.add((
+                uid, s["ts"].min().to_pydatetime(),
+                s["ts"].max().to_pydatetime(), len(s),
+                float(s["value"].sum()),
+            ))
+
+    # shuffled 4-way split across micro-batches + a final flush event
+    order = rng.permutation(n)
+    src = str(tmp_path / f"sess_prop_{seed}")
+    os.makedirs(src)
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        .withWatermark("ts", "24 hours")  # whole horizon: no late drops
+    )
+    out = streaming_sessionize(stream, gap_sec=1800)
+    qname = f"sessions_prop_{seed}"
+    q = (out.writeStream.format("memory").queryName(qname)
+         .option("checkpointLocation", str(tmp_path / f"ck_prop_{seed}"))
+         .outputMode("append").start())
+    for bi, chunk in enumerate(np.array_split(order, 4)):
+        spark.createDataFrame(
+            [rows[i] for i in chunk],
+            "user_id string, ts timestamp, value double",
+        ).coalesce(1).write.parquet(os.path.join(src, f"b{bi}"))
+        q.processAllAvailable()
+    # flush: watermark sails past every session_end + gap
+    spark.createDataFrame(
+        [("zz_flush", (t0 + pd.Timedelta(days=30)).to_pydatetime(), 0.0)],
+        "user_id string, ts timestamp, value double",
+    ).coalesce(1).write.parquet(os.path.join(src, "b_flush"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        if r.user_id != "zz_flush"
+    }
+    assert got == expect
+
+
 def test_debezium_roundtrip_replay_hash(spark, tmp_path):
     """binlog events -> Debezium envelope JSON -> parse_debezium ->
     replay must produce the exact same final state as replaying the
@@ -425,6 +505,53 @@ def test_debezium_roundtrip_replay_hash(spark, tmp_path):
     replay(spark, t_dbz, 0, 3000, batch_size=1000, events_df=parsed)
     assert state_hash(spark_state_pdf(spark, t_direct)) == \
         state_hash(spark_state_pdf(spark, t_dbz))
+
+
+def test_stream_debezium_replay_matches_batch(spark, tmp_path):
+    """Debezium envelope JSON line files drained through Structured
+    Streaming (streaming/tail.py:stream_debezium_replay): final state
+    hash must equal the batch replay of the original events, AND the
+    error port must be live — planted malformed lines land in the
+    error parquet with the raw line intact, never in the lake."""
+    from dlp_plugins_spark.sources.cdc_json import to_debezium_json
+    from dlp_plugins_spark.streaming.tail import stream_debezium_replay
+
+    json_dir = str(tmp_path / "dbz_json")
+    os.makedirs(json_dir)
+    # three committed JSON segment files rendered from binlog events
+    for i, (lo, hi) in enumerate([(0, 1000), (1000, 2000), (2000, 3000)]):
+        ev = B.generate_binlog(spark, lo, hi, batch_size=1000, **GEN)
+        to_debezium_json(ev, B.TABLE_KEY).select("value") \
+            .coalesce(1).write.mode("overwrite") \
+            .text(os.path.join(json_dir, f"seg-{i:04d}"))
+    # plus one segment of garbage the error port must quarantine
+    bad_lines = [
+        'not json at all {',
+        '{"op":"x","after":{"repo":"r","path":"p"},"source":{"lsn":1}}',
+        '{"op":"u","after":{"repo":"r","path":"p"}}',
+    ]
+    spark.createDataFrame([(s,) for s in bad_lines], "value string") \
+        .coalesce(1).write.mode("overwrite") \
+        .text(os.path.join(json_dir, "seg-bad"))
+
+    stream_table = LakeTable.create(
+        str(tmp_path / "t_dbz_stream"), _payload(), B.TABLE_KEY,
+        n_buckets=8)
+    err_dir = str(tmp_path / "dbz_errors")
+    q = stream_debezium_replay(
+        spark, stream_table, json_dir + "/*", str(tmp_path / "ckpt_dbz"),
+        err_dir, batch_lsn_size=1000, max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    batch_table = LakeTable.create(
+        str(tmp_path / "t_dbz_batch"), _payload(), B.TABLE_KEY,
+        n_buckets=8)
+    replay(spark, batch_table, 0, 3000, batch_size=1000, gen_kwargs=GEN)
+
+    assert state_hash(spark_state_pdf(spark, stream_table)) == \
+        state_hash(spark_state_pdf(spark, batch_table))
+    errs = spark.read.parquet(err_dir)
+    assert sorted(r["value"] for r in errs.collect()) == sorted(bad_lines)
 
 
 def test_debezium_error_port(spark):
