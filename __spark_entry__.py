@@ -1596,8 +1596,11 @@ def q_winnow_near_dup_pairs(spark, sf_dir):
     doc_ids re-enter with id+3,000,000 and one appended token (planted
     pairs sharing nearly every >= 23-char substring), and DuckDB
     replays the ENTIRE pipeline bit-for-bit — md5 winnow fingerprints,
-    the max_df stop-fingerprint cap, the min_shared >= 2 candidate
-    filter, and the exact char-3-gram Jaccard verify — so candidates
+    the max_df stop-fingerprint cap, the min_shared >= 5 candidate
+    filter (every planted pair shares 9-47 fingerprints; the template-
+    heavy synthetic corpus makes min_shared the candidate-volume knob:
+    2 -> 50k candidate pairs at sf0.01, 5 -> 6.9k, planted recall
+    unchanged), and the exact char-3-gram Jaccard verify — so candidates
     AND scores must agree exactly (every stage is deterministic and
     SQL-expressible; md5 was chosen for precisely this)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1607,7 +1610,7 @@ def q_winnow_near_dup_pairs(spark, sf_dir):
     )
     allv = docs.unionByName(planted)
     out = D.winnow_near_dup_pairs(
-        allv, k=8, w=16, n=3, threshold=0.8, min_shared=2, max_df=100)
+        allv, k=8, w=16, n=3, threshold=0.8, min_shared=5, max_df=100)
     return out.select(
         "a_id", "b_id", "n_shared",
         F.round("jaccard", 6).alias("jaccard"),
@@ -1640,7 +1643,7 @@ sf AS (SELECT s.doc_id, s.fp FROM sel s JOIN rare r ON s.fp = r.fp),
 cand AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
   FROM sf a JOIN sf b ON a.fp = b.fp AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5),
 gr AS (SELECT doc_id,
               list_distinct([substring(t, i, 3)
                              for i in range(1, length(t) - 1)]) AS s

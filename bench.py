@@ -37,7 +37,6 @@ BENCH_QUERIES = [
     "split_whole_record",
     "finding_counts_by_lang",
     "date_shift_events",
-    "date_shift_epoch_days",
     "crypto_hash_langs",
     "fpe_roundtrip",
     "redact_custom_template",

@@ -271,8 +271,16 @@ def winnow_near_dup_pairs(df: DataFrame, text_col: str = "text",
     Returns (a_id, b_id, n_shared, jaccard) at jaccard >= threshold."""
     from dlp_plugins_spark.functions.text import winnow_fingerprints
 
+    # materialize the fingerprint index once: the candidate DAG below
+    # references it four times (df-cap groupBy, semi-join, both sides of
+    # the self-join) and re-evaluating the per-gram md5 pipeline per
+    # reference dominated the wall (measured ~3x at sf0.1). At scale
+    # this is the standard "build the index, then query it" shape — the
+    # fp rows are ~(id, 32B hash) pairs, a few percent of corpus bytes,
+    # on executor-local disk.
     fps = winnow_fingerprints(df.select(id_col, text_col), text_col,
-                              k=k, w=w, id_cols=[id_col], out="_fp")
+                              k=k, w=w, id_cols=[id_col], out="_fp") \
+        .localCheckpoint(eager=True)
     rare = (fps.groupBy("_fp").agg(F.count("*").alias("_df"))
             .filter(F.col("_df") <= max_df).select("_fp"))
     fps = fps.join(rare, "_fp", "left_semi")
@@ -289,6 +297,14 @@ def winnow_near_dup_pairs(df: DataFrame, text_col: str = "text",
         )
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+        # materialize: the verify stage references the candidate set 4x
+        # (two id-union branches, the verify join, the n_shared join) —
+        # without a barrier each reference re-evaluates the whole md5
+        # fingerprint pipeline (measured ~6x wall at sf0.01). Candidates
+        # are bounded by max_df/min_shared and tiny next to the corpus,
+        # so materializing them is cheap at any scale — the same
+        # candidates-are-small assumption the LSH verify tier makes.
+        .localCheckpoint(eager=True)
     )
     verified = char_ngram_jaccard_pairs(
         df, cands.select("a_id", "b_id"), text_col, id_col, n=n)
