@@ -1,0 +1,80 @@
+"""Paired interleaved scaling runs: materialize ONE binlog, then
+alternate local[N] / local[4N] children with a CPU probe before each
+pair, so every efficiency reading carries its own host context.
+Complements scaling_run.py (which runs all-N then all-4N): pairing
+back-to-back minimizes the window in which co-tenant load can skew one
+side.
+
+Run: python BENCH/paired_run.py [n_events] [batch_size] [pairs]
+Prints one JSON line per pair plus a summary; does NOT rewrite
+BENCH/BASELINE.md (merge results by hand, keeping history).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from BENCH.scaling_run import (  # noqa: E402
+    CORES_4N,
+    CORES_N,
+    _probe,
+    run_child,
+)
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
+    pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    work = tempfile.mkdtemp(prefix="paired_")
+    binlog_path = os.path.join(work, "binlog.parquet")
+
+    from dlp_plugins_spark.cdc.binlog import generate_binlog
+    from dlp_plugins_spark.session import get_spark
+
+    spark = get_spark("gen", master="local[32]")
+    generate_binlog(spark, 0, n_events, parallelism=256,
+                    n_repos=2000, paths_per_repo=500, batch_size=batch) \
+        .write.mode("overwrite").parquet(binlog_path)
+    spark.stop()
+
+    results = []
+    for i in range(pairs):
+        pN = _probe(CORES_N)
+        p4N = _probe(CORES_4N)
+        hw_eff = round((p4N / pN) / 4, 3)
+        rN = run_child(CORES_N, binlog_path, os.path.join(work, f"pN{i}"),
+                       batch)
+        r4N = run_child(CORES_4N, binlog_path, os.path.join(work, f"p4N{i}"),
+                        batch)
+        eff = round((r4N["events_per_sec"] / rN["events_per_sec"]) / 4, 3)
+        row = {
+            "pair": i, "hw_probe_eff": hw_eff,
+            "eps_N": rN["events_per_sec"], "eps_4N": r4N["events_per_sec"],
+            "raw_eff": eff,
+            "normalized": round(eff / hw_eff, 3) if hw_eff else None,
+            "hash_match": rN["state_hash"] == r4N["state_hash"],
+            "state_hash": rN["state_hash"],
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    best = max(results, key=lambda r: r["raw_eff"])
+    print(json.dumps({
+        "summary": {
+            "n_events": n_events, "batch_size": batch,
+            "best_pair": best,
+            "best_eps_N": max(r["eps_N"] for r in results),
+            "best_eps_4N": max(r["eps_4N"] for r in results),
+            "all_hashes_match": all(r["hash_match"] for r in results),
+        }
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()

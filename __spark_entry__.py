@@ -1809,6 +1809,16 @@ ORDER BY repo, path
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Entry-query registry. ORDERING IS ATTESTATION-LOAD-BEARING: the
+    driver runs at most the FIRST 50 entries against oracle_sql(), so
+    every oracle-backed query must appear before any rows-only query or
+    it silently loses its driver-green CORRECTNESS row (round 3 pushed
+    three operators past the window this way). The invariant — all
+    oracle_sql() keys inside the first 50 — is asserted by
+    tests/test_entry_oracle.py::test_oracle_queries_fit_driver_cap;
+    near-duplicate attestations are consolidated into multi-column
+    queries (see individual docstrings) to stay under the cap without
+    losing any attested kernel."""
     return {
         # reference-semantics DLP operators (SURVEY.md §2.1-2.3).
         # redact_emails also attests REPLACE_VALUE, mask_keep_digits_ws
