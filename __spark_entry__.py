@@ -171,16 +171,6 @@ FROM documents GROUP BY lang
 """
 
 
-def q_content_sha256(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
-
-
-SQL_CONTENT_SHA256 = """
-SELECT doc_id, sha256(text) AS text_sha FROM documents
-"""
-
-
 def q_date_shift_events(spark, sf_dir):
     """DATE_SHIFT on BOTH physical representations in one pipeline: the
     native timestamp column, and the same instant as a bigint epoch-days
@@ -276,24 +266,6 @@ def q_clicked_no_purchase(spark, sf_dir):
 SQL_CLICKED_NO_PURCHASE = """
 SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
 AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
-"""
-
-
-def q_agg_events_by_type(spark, sf_dir):
-    ev = _read(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
-        F.countDistinct("user_id").alias("n_users"),
-    )
-
-
-SQL_AGG_EVENTS_BY_TYPE = """
-SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
-       round(avg(value), 4) AS avg_value,
-       count(DISTINCT user_id) AS n_users
-FROM events GROUP BY event_type
 """
 
 
@@ -477,9 +449,15 @@ FROM sess GROUP BY user_id, session_idx
 
 def q_value_percentiles_by_type(spark, sf_dir):
     """Exact continuous percentiles per group (Spark `percentile` ==
-    DuckDB `quantile_cont`)."""
+    DuckDB `quantile_cont`), plus the basic grouped aggregates
+    (count/sum/avg/countDistinct) that were the former standalone
+    `agg_events_by_type` attestation — same groupBy, one driver row."""
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
@@ -487,7 +465,9 @@ def q_value_percentiles_by_type(spark, sf_dir):
 
 
 SQL_VALUE_PERCENTILES = """
-SELECT event_type,
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+       round(avg(value), 4) AS avg_value,
+       count(DISTINCT user_id) AS n_users,
        round(quantile_cont(value, 0.5), 6) AS p50,
        round(quantile_cont(value, 0.9), 6) AS p90,
        round(quantile_cont(value, 0.99), 6) AS p99
@@ -1109,36 +1089,48 @@ SELECT a_id, b_id, cosine FROM pairs WHERE cosine >= 0.9 ORDER BY a_id, b_id
 
 def q_crypto_hash_langs(spark, sf_dir):
     """CRYPTO_HASH (HMAC-SHA-256, fixed engine key) invariants, made
-    SQL-attestable: DuckDB has no HMAC, but it can check shape and
-    determinism — every digest is 64-char lowercase hex, the hash is a
-    pure function of the input (distinct digests == distinct langs; two
-    independent evaluations agree row-for-row). Kernel-vs-python-hmac
-    equality is tests/test_kernels.py."""
+    SQL-attestable PER ROW: DuckDB has no HMAC, but it can check shape
+    and determinism — every digest is 64-char lowercase hex
+    (hmac_hex_ok), two independent evaluations agree (hmac_stable), the
+    hash is a pure function of the input (hmac_functional: one distinct
+    digest per lang) and collision-free across langs (hmac_injective) —
+    the oracle asserts all four are TRUE for every document. The
+    text_sha column absorbs the former standalone `content_sha256`
+    attestation (value-level sha256 parity with DuckDB) into the same
+    driver row. Kernel-vs-python-hmac equality is
+    tests/test_kernels.py."""
     docs = _read(spark, sf_dir, "documents")
     spec = [{
         "transform": "CRYPTO_HASH", "fields": "lang", "filters": "NONE",
         "transformProperties": {"keyType": "TRANSIENT", "name": "entry-hash"},
     }]
+    from pyspark.sql.window import Window
+
     h1 = apply_transforms(docs, spec).select(
         "doc_id", F.col("lang").alias("h1"))
     h2 = apply_transforms(docs, spec).select(
         "doc_id", F.col("lang").alias("h2"))
-    both = h1.join(h2, "doc_id")
-    return both.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.countDistinct("h1").cast("long").alias("n_distinct_hashes"),
-        F.sum(F.col("h1").rlike("^[0-9a-f]{64}$").cast("long"))
-        .alias("n_hex_ok"),
-        F.sum((F.col("h1") == F.col("h2")).cast("long")).alias("n_stable"),
-    )
+    both = docs.select("doc_id", "text", "lang") \
+        .join(h1, "doc_id").join(h2, "doc_id")
+    w_lang = Window.partitionBy("lang")
+    w_hash = Window.partitionBy("h1")
+    return both.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+        F.col("h1").rlike("^[0-9a-f]{64}$").alias("hmac_hex_ok"),
+        (F.col("h1") == F.col("h2")).alias("hmac_stable"),
+        (F.size(F.collect_set("h1").over(w_lang)) == 1)
+        .alias("hmac_functional"),
+        (F.size(F.collect_set("lang").over(w_hash)) == 1)
+        .alias("hmac_injective"),
+    ).orderBy("doc_id")
 
 
 SQL_CRYPTO_HASH_INVARIANTS = """
-SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct_hashes,
-       CAST(count(*) AS BIGINT) AS n_hex_ok,
-       CAST(count(*) AS BIGINT) AS n_stable
-FROM documents
+SELECT doc_id, sha256(text) AS text_sha,
+       TRUE AS hmac_hex_ok, TRUE AS hmac_stable,
+       TRUE AS hmac_functional, TRUE AS hmac_injective
+FROM documents ORDER BY doc_id
 """
 
 
@@ -1662,6 +1654,103 @@ FROM ver WHERE j >= 0.8 ORDER BY a_id, b_id
 """
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """C4-style exact span-level dedup (operators/dedup.py
+    paragraph_dedup), ORACLE-ATTESTED end-to-end on a deterministic
+    multi-paragraph corpus built from `documents`: each doc under 120
+    becomes [own text, a shared boilerplate line, own text again] — so
+    every doc must lose its self-duplicate, exactly one doc (the lowest
+    (id, pos)) keeps the boilerplate, and any cross-doc exact text dups
+    already present in the table dedup against each other. DuckDB
+    replays the whole pipeline (split -> global first-occurrence winner
+    by (id, pos) -> reassemble in order) and compares kept counts AND
+    the sha256 of every reassembled document byte-for-byte."""
+    docs = _read(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 120) \
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n", F.col("text"),
+                F.lit("standard disclaimer boilerplate applies"),
+                F.col("text"),
+            ).alias("text"),
+        )
+    out = D.paragraph_dedup(docs, text_col="text", id_col="doc_id")
+    return out.select(
+        "doc_id", "n_paragraphs", "n_kept",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    ).orderBy("doc_id")
+
+
+SQL_PARAGRAPH_DEDUP = r"""
+WITH src AS (
+  SELECT doc_id,
+         text || chr(10) || 'standard disclaimer boilerplate applies'
+              || chr(10) || text AS t
+  FROM documents WHERE doc_id < 120),
+sp AS (SELECT doc_id, string_split(t, chr(10)) AS p FROM src),
+parts AS (
+  SELECT doc_id, i - 1 AS pos, p[CAST(i AS INT)] AS para
+  FROM (SELECT doc_id, p, unnest(range(1, len(p) + 1)) AS i FROM sp)
+  WHERE length(p[CAST(i AS INT)]) >= 1),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM parts),
+npar AS (SELECT doc_id, count(*) AS n_paragraphs FROM parts
+         GROUP BY doc_id),
+kept AS (SELECT doc_id, pos, para FROM ranked WHERE rn = 1)
+SELECT k.doc_id, CAST(n.n_paragraphs AS BIGINT) AS n_paragraphs,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       sha256(string_agg(k.para, chr(10) ORDER BY k.pos)) AS text_sha
+FROM kept k JOIN npar n ON k.doc_id = n.doc_id
+GROUP BY k.doc_id, n.n_paragraphs
+ORDER BY k.doc_id
+"""
+
+
+def q_ngram_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): GPT-3
+    Appendix-C 13-gram collision test, ORACLE-ATTESTED. The benchmark
+    set is the deterministic doc_id % 29 == 0 slice of `documents`
+    (standing in for an eval set); every corpus document reports its
+    distinct normalized word 13-gram count and how many collide with
+    any benchmark n-gram. Benchmark members flag themselves (exact
+    self-overlap), as do any exact/near copies of them in the corpus —
+    DuckDB recomputes the full n-gram sets and intersections exactly.
+    Spark side: benchmark n-grams are broadcast; the corpus is scanned
+    once with no corpus shuffle (see module docstring for the 100 TB
+    shape)."""
+    from dlp_plugins_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    return ngram_contamination(docs, bench, n=13).orderBy("doc_id")
+
+
+SQL_NGRAM_DECONTAMINATE = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 11, 1)),
+           i -> array_to_string(w[i:i+12], ' '))) AS g
+  FROM norm),
+bg AS (SELECT DISTINCT unnest(g) AS gram FROM grams
+       WHERE doc_id % 29 = 0),
+bgl AS (SELECT list(gram) AS bl FROM bg)
+SELECT doc_id, CAST(len(g) AS BIGINT) AS n_ngrams,
+       CAST(len(list_intersect(g, bl)) AS BIGINT) AS n_contaminated,
+       len(list_intersect(g, bl)) > 0 AS contaminated
+FROM grams, bgl ORDER BY doc_id
+"""
+
+
 def q_simhash_docs(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return D.simhash(docs).select("doc_id", "simhash")
@@ -1828,13 +1917,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_emails": q_redact_emails,
         "mask_keep_digits_ws": q_mask_keep_digits_ws,
         "split_sensitive_by_lang": q_split_sensitive_by_lang,
-        "content_sha256": q_content_sha256,
         "date_shift_events": q_date_shift_events,
         # CDC / relational engine ops (SURVEY.md §2.6)
         "lww_latest_event_per_user": q_lww_latest_event_per_user,
         "cdc_final_state_users": q_cdc_final_state_users,
         "clicked_no_purchase": q_clicked_no_purchase,
-        "agg_events_by_type": q_agg_events_by_type,
         "revenue_by_mktsegment": q_revenue_by_mktsegment,
         "q1_lineitem": q_q1_lineitem,
         "top5_orders_per_status": q_top5_orders_per_status,
@@ -1882,6 +1969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_parse": q_cdc_debezium_parse,
         "repetition_quality": q_repetition_quality,
         "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
+        "paragraph_dedup": q_paragraph_dedup,
+        "ngram_decontaminate": q_ngram_decontaminate,
         # genuinely non-SQL-expressible (rows-only; the driver runs at
         # most 50 queries, so ALL oracle-backed entries come first — the
         # ordering invariant is test-asserted by
@@ -1907,12 +1996,10 @@ def oracle_sql() -> dict[str, str]:
         "redact_emails": SQL_REDACT_EMAILS,
         "mask_keep_digits_ws": SQL_MASK_KEEP_DIGITS_WS,
         "split_sensitive_by_lang": SQL_SPLIT_SENSITIVE_BY_LANG,
-        "content_sha256": SQL_CONTENT_SHA256,
         "date_shift_events": SQL_DATE_SHIFT_EVENTS,
         "lww_latest_event_per_user": SQL_LWW_LATEST,
         "cdc_final_state_users": SQL_CDC_FINAL_STATE,
         "clicked_no_purchase": SQL_CLICKED_NO_PURCHASE,
-        "agg_events_by_type": SQL_AGG_EVENTS_BY_TYPE,
         "revenue_by_mktsegment": SQL_REVENUE_BY_MKTSEGMENT,
         "q1_lineitem": SQL_Q1_LINEITEM,
         "top5_orders_per_status": SQL_TOP5_ORDERS,
@@ -1954,4 +2041,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_debezium_parse": SQL_CDC_DEBEZIUM_PARSE,
         "repetition_quality": SQL_REPETITION_QUALITY,
         "winnow_near_dup_pairs": SQL_WINNOW_NEAR_DUP_PAIRS,
+        "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+        "ngram_decontaminate": SQL_NGRAM_DECONTAMINATE,
     }

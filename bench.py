@@ -43,7 +43,6 @@ BENCH_QUERIES = [
     "det_encrypt_roundtrip",
     "lww_latest_event_per_user",
     "cdc_final_state_users",
-    "agg_events_by_type",
     "revenue_by_mktsegment",
     "q1_lineitem",
     "q3_shipping",
@@ -66,6 +65,8 @@ BENCH_QUERIES = [
     "minhash_near_dup_pairs",
     "winnow_fingerprints",
     "winnow_near_dup_pairs",
+    "paragraph_dedup",
+    "ngram_decontaminate",
     "repetition_quality",
     "cdc_debezium_parse",
     "simhash_docs",

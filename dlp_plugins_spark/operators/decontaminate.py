@@ -1,0 +1,81 @@
+"""Training-data decontamination: flag corpus documents whose word
+n-grams collide with a benchmark/eval set.
+
+This is the standard published test for train/test overlap in LLM
+corpora: GPT-3 (Brown et al. 2020, Appendix C) removed documents with a
+13-gram collision against any eval set; PaLM, Chinchilla, and Llama use
+the same construction with n in [8, 13]. The reference engine
+(data-integrations/dlp-plugins) has no counterpart — this belongs to
+the engine-added LLM-pipeline operator family (SURVEY.md §2.7) next to
+the dedup/quality operators.
+
+100 TB shape: the benchmark side is TINY relative to the corpus (eval
+sets are megabytes; the corpus is terabytes), so its distinct n-grams
+are **broadcast** — the corpus is scanned exactly once, map-side, with
+NO corpus shuffle for matching; the only shuffle is the per-document
+hit count, a map-side-combinable groupBy on the document id whose rows
+are (id, small ints). A skewed document (one doc with millions of
+n-grams) only widens its own map task. Set ``broadcast_bench=False``
+for a pathologically large benchmark set; matching then becomes a
+standard shuffled equi-join on the n-gram string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dlp_plugins_spark.functions.text import with_shingle_set
+
+
+def benchmark_ngrams(bench: DataFrame, text_col: str = "text",
+                     n: int = 13) -> DataFrame:
+    """Distinct normalized word ``n``-grams of the benchmark set, one
+    row per n-gram (column ``gram``). Normalization matches the dedup
+    family (``normalize_text``: lowercase, strip punctuation, collapse
+    whitespace) so a benchmark string matches regardless of surface
+    formatting."""
+    g = with_shingle_set(bench.select(text_col), text_col, k=n,
+                         out="_g", id_cols=[])
+    return g.select(F.explode("_g").alias("gram")).distinct()
+
+
+def ngram_contamination(docs: DataFrame, bench: DataFrame, n: int = 13,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str | None = None,
+                        broadcast_bench: bool = True) -> DataFrame:
+    """Per-document contamination report against ``bench``.
+
+    Returns one row per corpus document:
+      (``id_col``, ``n_ngrams``: distinct normalized word n-grams in the
+      document, ``n_contaminated``: how many of those also occur
+      anywhere in the benchmark set, ``contaminated``: n_contaminated >
+      0) — the GPT-3 Appendix-C decision rule; callers filter or weight
+      on it.
+
+    Documents with fewer than ``n`` words have ``n_ngrams = 0`` and are
+    never contaminated (kept via a left join, not dropped by the
+    explode).
+    """
+    bt = bench_text_col or text_col
+    grams = benchmark_ngrams(bench, bt, n)
+    if broadcast_bench:
+        grams = F.broadcast(grams)
+    doc_grams = with_shingle_set(docs.select(id_col, text_col), text_col,
+                                 k=n, out="_g", id_cols=[id_col])
+    # NULL text slips through shingles_of_words as [NULL] (size() of the
+    # NULL words array makes sequence() run descending); scrub NULL
+    # elements so such documents report 0 n-grams, never a phantom one
+    doc_grams = doc_grams.withColumn(
+        "_g", F.filter("_g", lambda x: x.isNotNull()))
+    exploded = doc_grams.select(
+        id_col,
+        F.coalesce(F.size("_g"), F.lit(0)).alias("n_ngrams"),
+        F.explode_outer("_g").alias("gram"),
+    )
+    hits = exploded.join(
+        grams.withColumn("_hit", F.lit(1)), on="gram", how="left")
+    return hits.groupBy(id_col).agg(
+        F.first("n_ngrams").cast("long").alias("n_ngrams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+        .alias("n_contaminated"),
+    ).withColumn("contaminated", F.col("n_contaminated") > 0)

@@ -539,3 +539,72 @@ def dedup_by_components(df: DataFrame, pairs: DataFrame,
     losers = comps.filter(F.col("component") != F.col("id")).select(
         F.col("id").alias(id_col))
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = "\n",
+                    min_len: int = 1) -> DataFrame:
+    """Corpus-wide exact SPAN-level dedup: C4 (Raffel et al. 2020, §2.2)
+    discards all but one occurrence of any repeated three-sentence span;
+    RefinedWeb and most open web corpora do the same at line/paragraph
+    granularity to strip boilerplate (nav bars, disclaimers, license
+    blocks) that document-level dedup cannot see. This is the span
+    analogue of ``exact_dedup``: split each document on ``sep``, keep
+    only the globally FIRST occurrence (lowest ``(id, position)``) of
+    every distinct paragraph, and reassemble documents from their
+    surviving paragraphs in original order. Documents whose paragraphs
+    all lose (pure duplication) drop out entirely, as in C4; NULL-text
+    documents drop out the same way (no spans). Paragraphs
+    shorter than ``min_len`` characters are removed everywhere (C4's
+    short-line filter) so separator runs don't create empty spans.
+
+    Returns (``id_col``, ``n_paragraphs``: spans after the min_len
+    filter, ``n_kept``, ``text_col``: the reassembled document).
+
+    100 TB shape — the hot-paragraph skew is designed out: a boilerplate
+    span appearing in 10% of all documents never lands on one task.
+    Winner election is groupBy(md5(para)).min(struct(id, pos)) — a
+    map-side-combinable partial aggregate, so every partition
+    contributes one candidate row per distinct local span. Winner
+    mark-back joins on the near-unique composite (md5, id, pos) — the
+    hot span's million copies hash to a million different reducers and
+    simply find no match — never on the skewed span key alone. Shuffle
+    bytes carry the md5, not the span text, except for the winner rows
+    themselves. Reassembly is a groupBy on the id (document-sized
+    groups). Three shuffles total, none skew-prone.
+    """
+    parts = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep))
+        .alias("_pos", "_para"),
+    ).filter(F.length("_para") >= min_len) \
+     .withColumn("_pmd5", F.md5(F.col("_para")))
+    winners = parts.groupBy("_pmd5").agg(
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("_pos").alias("p"))).alias("_w"))
+    wflat = winners.select(F.col("_pmd5").alias("_wmd5"),
+                           F.col("_w.i").alias("_wi"),
+                           F.col("_w.p").alias("_wp"))
+    kept = parts.join(
+        wflat,
+        on=[F.col("_pmd5") == F.col("_wmd5"),
+            F.col(id_col) == F.col("_wi"),
+            F.col("_pos") == F.col("_wp")],
+        how="inner",
+    ).select(id_col, "_pos", "_para")
+    n_paras = df.select(
+        F.col(id_col),
+        F.size(F.filter(F.split(F.col(text_col), sep),
+                        lambda p: F.length(p) >= min_len))
+        .cast("long").alias("n_paragraphs"),
+    )
+    out = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"],
+            ), sep,
+        ).alias(text_col),
+    )
+    return out.join(n_paras, on=id_col, how="inner") \
+        .select(id_col, "n_paragraphs", "n_kept", text_col)

@@ -679,3 +679,92 @@ def test_compression_ratio_discriminates(spark):
     again = {r["doc_id"]: r["compression_ratio"] for r in
              compression_ratio(df).collect()}
     assert got == again           # deterministic
+
+
+# ---------------------------------------------------------------------------
+# span-level dedup + decontamination
+# ---------------------------------------------------------------------------
+
+def test_paragraph_dedup_known_values(spark):
+    """C4-style span dedup: global first occurrence wins by (id, pos);
+    fully-duplicated and NULL-text documents drop out; empty spans are
+    filtered before dedup; surviving docs reassemble in original
+    order."""
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="alpha beta\nBOILER\nalpha beta"),
+        Row(doc_id=1, text="gamma delta\nBOILER"),
+        Row(doc_id=2, text="BOILER"),              # all spans lose
+        Row(doc_id=3, text="solo one\n\nsolo two"),  # empty span removed
+        Row(doc_id=4, text=None),
+    ])
+    out = {r["doc_id"]: r for r in
+           D.paragraph_dedup(df).orderBy("doc_id").collect()}
+    assert set(out) == {0, 1, 3}
+    assert out[0]["text"] == "alpha beta\nBOILER"
+    assert (out[0]["n_paragraphs"], out[0]["n_kept"]) == (3, 2)
+    assert out[1]["text"] == "gamma delta"
+    assert (out[1]["n_paragraphs"], out[1]["n_kept"]) == (2, 1)
+    assert out[3]["text"] == "solo one\nsolo two"
+    assert (out[3]["n_paragraphs"], out[3]["n_kept"]) == (2, 2)
+
+
+def test_paragraph_dedup_matches_pandas_oracle(spark, docs):
+    """Randomized corpus vs a single-threaded pandas replay of the same
+    first-occurrence rule (multi-paragraph docs built from testdata)."""
+    src = docs.filter(F.col("doc_id") < 60).select(
+        "doc_id",
+        F.concat_ws("\n", "text", F.lit("shared boiler line"), "text")
+        .alias("text"),
+    )
+    got = {r["doc_id"]: (r["n_paragraphs"], r["n_kept"], r["text"])
+           for r in D.paragraph_dedup(src).collect()}
+    pdf = src.orderBy("doc_id").toPandas()
+    seen, expect = set(), {}
+    for r in pdf.itertuples(index=False):
+        paras = [p for p in r.text.split("\n") if len(p) >= 1]
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        if kept:
+            expect[r.doc_id] = (len(paras), len(kept), "\n".join(kept))
+    assert got == expect
+
+
+def test_ngram_contamination_known_values(spark):
+    from dlp_plugins_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+
+    corpus = spark.createDataFrame([
+        Row(doc_id=0, text="a b c d e f g h i j k l m tail words"),
+        Row(doc_id=1, text="A, b! c d e f g h i j k l m"),  # normalizes in
+        Row(doc_id=2, text="no overlap here at all with anything "
+                           "benchmarky in thirteen plus words total"),
+        Row(doc_id=3, text="too short"),
+        Row(doc_id=4, text=None),
+    ])
+    bench = spark.createDataFrame(
+        [Row(text="x y a b c d e f g h i j k l m")])
+    out = {r["doc_id"]: r for r in
+           ngram_contamination(corpus, bench, n=13).collect()}
+    assert out[0]["n_ngrams"] == 3 and out[0]["n_contaminated"] == 1
+    assert out[1]["contaminated"] is True      # punctuation normalized away
+    assert out[2]["n_contaminated"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_ngrams"] == 0 and not out[3]["contaminated"]
+    assert out[4]["n_ngrams"] == 0 and not out[4]["contaminated"]
+    assert len(out) == 5                       # no doc dropped
+
+
+def test_ngram_contamination_broadcast_plan(spark, docs):
+    """The 100 TB contract: the corpus side must NOT shuffle for the
+    match — the benchmark n-grams ride a broadcast join."""
+    from dlp_plugins_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+
+    bench = docs.filter(F.col("doc_id") % 29 == 0).select("text")
+    out = ngram_contamination(docs.select("doc_id", "text"), bench, n=13)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
