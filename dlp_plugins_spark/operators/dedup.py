@@ -79,8 +79,10 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 
     Rows with fewer than ``shingle_k`` words have no shingles and drop
     out (they cannot near-duplicate anything at this granularity)."""
-    sets_df = with_shingle_set(df, text_col, k=shingle_k, out="_set",
-                               id_cols=[id_col])
+    from dlp_plugins_spark.functions.text import widen_narrow_input
+
+    sets_df = with_shingle_set(widen_narrow_input(df), text_col,
+                               k=shingle_k, out="_set", id_cols=[id_col])
     exploded = sets_df.select(
         F.col(id_col),
         F.explode(F.transform(F.col("_set"), lambda s: F.xxhash64(s)))
@@ -111,9 +113,14 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
         for bi in range(bands)
     ]
     ids = df.select(F.col(id_col), F.array(*band_cols).alias("_bands"))
+    # materialize the band index once: both sides of the self-join below
+    # would otherwise re-evaluate the upstream signature pipeline (the
+    # shingle explode + 64 min-aggregations) — the same
+    # build-the-index-then-query shape as winnow_near_dup_pairs.
+    # Band rows are (id, int, long) — a sliver of corpus bytes.
     exploded = ids.select(
         id_col, F.posexplode("_bands").alias("_band_idx", "_band_hash")
-    )
+    ).localCheckpoint(eager=True)
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (
@@ -128,6 +135,11 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
             F.col(f"r.{id_col}").alias("b_id"),
         )
         .distinct()
+        # verifiers reference the candidate set several times (two
+        # id-union branches + two verify joins); banding bounds its
+        # size, so materializing is cheap at any scale (interleaved A/B
+        # at sf0.1: ~1.3x on the attested minhash pipeline)
+        .localCheckpoint(eager=True)
     )
     return pairs
 
@@ -147,10 +159,12 @@ def exact_jaccard_pairs(df: DataFrame, pairs: DataFrame,
         .distinct()
     )
     needed = df.join(cand_ids, on=id_col, how="left_semi")
+    # both join sides reference the shingle sets; size ∝ candidate docs
+    # (semi-join pruned), so materializing once is cheap at any scale
     sets_df = with_shingle_set(
         needed.select(F.col(id_col).alias("_id"), text_col),
         text_col, k=shingle_k, out="_set", id_cols=["_id"],
-    )
+    ).localCheckpoint(eager=True)
     a = sets_df.alias("sa")
     b = sets_df.alias("sb")
     joined = (
@@ -221,10 +235,11 @@ def char_ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
         .distinct()
     )
     needed = df.join(cand_ids, on=id_col, how="left_semi")
+    # same both-sides-reference shape as exact_jaccard_pairs
     sets_df = char_ngram_set(
         needed.select(F.col(id_col).alias("_id"), text_col),
         text_col, n=n, out="_set", id_cols=["_id"],
-    )
+    ).localCheckpoint(eager=True)
     a, b = sets_df.alias("ga"), sets_df.alias("gb")
     joined = (
         pairs.join(a, pairs.a_id == F.col("ga._id"))
@@ -371,7 +386,9 @@ def simhash(df: DataFrame, text_col: str = "text",
     def _sim(texts: pd.Series) -> pd.Series:
         return simhash64_pdf(texts)
 
-    return df.withColumn(out, _sim(F.col(text_col)))
+    from dlp_plugins_spark.functions.text import widen_narrow_input
+
+    return widen_narrow_input(df).withColumn(out, _sim(F.col(text_col)))
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text",
