@@ -1715,19 +1715,22 @@ def q_ngram_decontaminate(spark, sf_dir):
     set is the deterministic doc_id % 29 == 0 slice of `documents`
     (standing in for an eval set); every corpus document reports its
     distinct normalized word 13-gram count and how many collide with
-    any benchmark n-gram. Benchmark members flag themselves (exact
-    self-overlap), as do any exact/near copies of them in the corpus —
-    DuckDB recomputes the full n-gram sets and intersections exactly.
-    Spark side: benchmark n-grams are broadcast; the corpus is scanned
-    once with no corpus shuffle (see module docstring for the 100 TB
-    shape)."""
+    any benchmark n-gram, plus the Llama-2 A.6 refinement: the fraction
+    of its TOKENS covered by matched n-gram spans (covered_frac —
+    benchmark members read 1.0, clean docs 0.0, partial quotes in
+    between). Benchmark members flag themselves (exact self-overlap),
+    as do any exact/near copies of them in the corpus — DuckDB
+    recomputes the full n-gram sets, intersections, and distinct
+    covered token positions exactly. Spark side: benchmark n-grams are
+    broadcast; the corpus is scanned with no corpus shuffle for the
+    match (see module docstring for the 100 TB shape)."""
     from dlp_plugins_spark.operators.decontaminate import (
-        ngram_contamination,
+        decontamination_report,
     )
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 29 == 0)
-    return ngram_contamination(docs, bench, n=13).orderBy("doc_id")
+    return decontamination_report(docs, bench, n=13).orderBy("doc_id")
 
 
 SQL_NGRAM_DECONTAMINATE = r"""
@@ -1743,11 +1746,32 @@ grams AS (
   FROM norm),
 bg AS (SELECT DISTINCT unnest(g) AS gram FROM grams
        WHERE doc_id % 29 = 0),
-bgl AS (SELECT list(gram) AS bl FROM bg)
-SELECT doc_id, CAST(len(g) AS BIGINT) AS n_ngrams,
-       CAST(len(list_intersect(g, bl)) AS BIGINT) AS n_contaminated,
-       len(list_intersect(g, bl)) > 0 AS contaminated
-FROM grams, bgl ORDER BY doc_id
+bgl AS (SELECT list(gram) AS bl FROM bg),
+gp AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         list_transform(range(1, greatest(len(w) - 11, 1)),
+           i -> {'pos': i, 'gram': array_to_string(w[i:i+12], ' ')}) AS gps
+  FROM norm),
+ex AS (SELECT doc_id, unnest(gps) AS gg FROM gp),
+hits AS (SELECT e.doc_id, (e.gg).pos AS pos
+         FROM ex e JOIN bg ON (e.gg).gram = bg.gram),
+cov AS (SELECT doc_id, count(DISTINCT tok) AS n_covered
+        FROM (SELECT doc_id, unnest(range(pos, pos + 13)) AS tok
+              FROM hits)
+        GROUP BY doc_id)
+SELECT g.doc_id, CAST(len(g.g) AS BIGINT) AS n_ngrams,
+       CAST(len(list_intersect(g.g, bl)) AS BIGINT) AS n_contaminated,
+       len(list_intersect(g.g, bl)) > 0 AS contaminated,
+       CAST(gp.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(cov.n_covered, 0) AS BIGINT) AS n_covered,
+       CASE WHEN gp.n_tokens > 0
+            THEN round(coalesce(cov.n_covered, 0) / gp.n_tokens, 6)
+            ELSE 0.0 END AS covered_frac
+FROM grams g
+JOIN gp ON g.doc_id = gp.doc_id
+LEFT JOIN cov ON g.doc_id = cov.doc_id
+CROSS JOIN bgl
+ORDER BY g.doc_id
 """
 
 

@@ -79,3 +79,155 @@ def ngram_contamination(docs: DataFrame, bench: DataFrame, n: int = 13,
         F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
         .alias("n_contaminated"),
     ).withColumn("contaminated", F.col("n_contaminated") > 0)
+
+
+def contamination_token_coverage(docs: DataFrame, bench: DataFrame,
+                                 n: int = 13, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 bench_text_col: str | None = None,
+                                 broadcast_bench: bool = True) -> DataFrame:
+    """Token-coverage contamination (the Llama-2 refinement of the
+    GPT-3 collision flag): how much of each document's TOKEN STREAM is
+    covered by n-grams that also occur in the benchmark set. Touvron et
+    al. 2023 (Llama 2, A.6) classify a sample as contaminated when >80%
+    of its tokens lie inside matched spans — a collision COUNT cannot
+    distinguish one incidental quoted sentence from a wholesale copy;
+    coverage can.
+
+    Returns (``id_col``, ``n_tokens``, ``n_covered``, ``covered_frac``)
+    for every corpus document (0-coverage rows included). A gram at
+    word index i covers tokens [i, i+n); covered token indexes are
+    counted once however many matched grams overlap them.
+
+    Scale shape: same as ``ngram_contamination`` — benchmark grams are
+    broadcast, the corpus is scanned once map-side; only MATCHED grams
+    explode into (id, token-index) rows (bounded by contamination
+    volume, not corpus size) before the distinct-count per document.
+    """
+    from dlp_plugins_spark.functions.text import (
+        normalize_text, widen_narrow_input,
+    )
+
+    bt = bench_text_col or text_col
+    grams = benchmark_ngrams(bench, bt, n)
+    if broadcast_bench:
+        grams = F.broadcast(grams)
+    wdf = widen_narrow_input(docs.select(id_col, text_col)).select(
+        id_col, F.split(normalize_text(text_col), " ").alias("_w"))
+    n_words = F.size("_w")
+    gp = F.when(
+        n_words.isNull() | (n_words < n),
+        F.array().cast("array<struct<pos:int,gram:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_words - n, F.lit(0))),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.array_join(F.slice("_w", i + 1, n), " ").alias("gram"),
+            ),
+        )
+    )
+    exploded = wdf.select(
+        id_col, F.coalesce(n_words, F.lit(0)).cast("long")
+        .alias("n_tokens"), F.explode_outer(gp).alias("_g"),
+    ).select(id_col, "n_tokens", F.col("_g.pos").alias("pos"),
+             F.col("_g.gram").alias("gram"))
+    base = exploded.groupBy(id_col).agg(
+        F.first("n_tokens").alias("n_tokens"))
+    hits = exploded.join(grams, on="gram", how="inner")
+    covered = hits.select(
+        id_col, F.explode(F.sequence("pos", F.col("pos") + F.lit(n - 1)))
+        .alias("_tok"),
+    ).groupBy(id_col).agg(
+        F.countDistinct("_tok").cast("long").alias("n_covered"))
+    out = base.join(covered, on=id_col, how="left") \
+        .withColumn("n_covered", F.coalesce("n_covered", F.lit(0)))
+    return out.withColumn(
+        "covered_frac",
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("n_covered") / F.col("n_tokens"), 6))
+        .otherwise(F.lit(0.0)),
+    )
+
+
+def decontamination_report(docs: DataFrame, bench: DataFrame, n: int = 13,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           bench_text_col: str | None = None,
+                           broadcast_bench: bool = True) -> DataFrame:
+    """Both contamination signals in ONE corpus scan: the GPT-3 collision
+    columns of ``ngram_contamination`` AND the Llama-2 token-coverage
+    columns of ``contamination_token_coverage``, per document.
+
+    At corpus scale the composed form (join of the two operators) scans
+    the corpus and rebuilds its n-grams twice; this fused form explodes
+    positioned n-grams once, broadcast-joins the benchmark set once,
+    and computes all signals in a single per-document aggregation —
+    distinct-gram counts plus an O(m) sorted-interval sweep
+    (``aggregate`` over the matched positions) for the union length of
+    the covered spans, never a second explode. Returns
+    (``id_col``, n_ngrams, n_contaminated, contaminated, n_tokens,
+    n_covered, covered_frac).
+    """
+    from dlp_plugins_spark.functions.text import (
+        normalize_text, widen_narrow_input,
+    )
+
+    bt = bench_text_col or text_col
+    grams = benchmark_ngrams(bench, bt, n)
+    if broadcast_bench:
+        grams = F.broadcast(grams)
+    wdf = widen_narrow_input(docs.select(id_col, text_col)).select(
+        id_col, F.split(normalize_text(text_col), " ").alias("_w"))
+    n_words = F.size("_w")
+    gp = F.when(
+        n_words.isNull() | (n_words < n),
+        F.array().cast("array<struct<pos:int,gram:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_words - n, F.lit(0))),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.array_join(F.slice("_w", i + 1, n), " ").alias("gram"),
+            ),
+        )
+    )
+    exploded = wdf.select(
+        id_col,
+        F.coalesce(n_words, F.lit(0)).cast("long").alias("n_tokens"),
+        F.explode_outer(gp).alias("_g"),
+    ).select(id_col, "n_tokens", F.col("_g.pos").cast("long").alias("pos"),
+             F.col("_g.gram").alias("gram"))
+    hits = exploded.join(
+        grams.withColumn("_hit", F.lit(1)), on="gram", how="left")
+    # union length of the covered intervals [p, p+n): one linear sweep
+    # over the SORTED matched positions — contribution of p is
+    # max(0, (p+n) - max(p, end_so_far)) = greatest(p+n, end) -
+    # greatest(p, end); end advances monotonically
+    matched_pos = F.array_sort(
+        F.collect_list(F.when(F.col("_hit") == 1, F.col("pos"))))
+    covered = F.aggregate(
+        matched_pos,
+        F.struct(F.lit(-1).cast("long").alias("end"),
+                 F.lit(0).cast("long").alias("tot")),
+        lambda acc, p: F.struct(
+            F.greatest(acc["end"], p + n).alias("end"),
+            (acc["tot"] + F.greatest(p + F.lit(n), acc["end"])
+             - F.greatest(p, acc["end"])).alias("tot"),
+        ),
+        lambda acc: acc["tot"],
+    )
+    agg = hits.groupBy(id_col).agg(
+        F.countDistinct("gram").cast("long").alias("n_ngrams"),
+        F.countDistinct(F.when(F.col("_hit") == 1, F.col("gram")))
+        .cast("long").alias("n_contaminated"),
+        F.first("n_tokens").alias("n_tokens"),
+        covered.alias("n_covered"),
+    )
+    return agg.select(
+        id_col, "n_ngrams", "n_contaminated",
+        (F.col("n_contaminated") > 0).alias("contaminated"),
+        "n_tokens", "n_covered",
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("n_covered") / F.col("n_tokens"), 6))
+        .otherwise(F.lit(0.0)).alias("covered_frac"),
+    )

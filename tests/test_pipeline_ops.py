@@ -768,3 +768,59 @@ def test_ngram_contamination_broadcast_plan(spark, docs):
     out = ngram_contamination(docs.select("doc_id", "text"), bench, n=13)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_token_coverage_known_values(spark):
+    """Llama-2-style span coverage: full copies read 1.0, a partial
+    quote covers exactly the tokens under matched 13-gram spans, clean
+    and too-short docs read 0."""
+    from dlp_plugins_spark.operators.decontaminate import (
+        contamination_token_coverage,
+    )
+
+    # 20-token doc whose first 15 tokens appear verbatim in the bench
+    # text: matched grams at positions 0..2 cover tokens 0..14 -> 15/20
+    common = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15"
+    corpus = spark.createDataFrame([
+        Row(doc_id=0, text=common + " u1 u2 u3 u4 u5"),
+        Row(doc_id=1, text=common),                       # full copy
+        Row(doc_id=2, text="clean words only " * 5),      # no overlap
+        Row(doc_id=3, text="short"),
+    ])
+    bench = spark.createDataFrame([Row(text="prefix " + common)])
+    out = {r["doc_id"]: r for r in
+           contamination_token_coverage(corpus, bench, n=13).collect()}
+    assert (out[0]["n_tokens"], out[0]["n_covered"]) == (20, 15)
+    assert out[0]["covered_frac"] == 0.75
+    assert out[1]["covered_frac"] == 1.0
+    assert out[2]["n_covered"] == 0 and out[2]["covered_frac"] == 0.0
+    assert out[3]["n_covered"] == 0 and len(out) == 4
+
+
+def test_decontamination_report_equals_composition(spark, docs):
+    """The fused single-scan report must agree column-for-column with
+    the composition of the two building-block operators on real data."""
+    from dlp_plugins_spark.operators.decontaminate import (
+        contamination_token_coverage, decontamination_report,
+        ngram_contamination,
+    )
+
+    corpus = docs.select("doc_id", "text").filter(F.col("doc_id") < 200)
+    bench = corpus.filter(F.col("doc_id") % 17 == 0)
+    fused = {r["doc_id"]: r for r in
+             decontamination_report(corpus, bench, n=13).collect()}
+    flags = {r["doc_id"]: r for r in
+             ngram_contamination(corpus, bench, n=13).collect()}
+    cov = {r["doc_id"]: r for r in
+           contamination_token_coverage(corpus, bench, n=13).collect()}
+    assert set(fused) == set(flags) == set(cov)
+    some_contaminated = False
+    for i, r in fused.items():
+        assert (r["n_ngrams"], r["n_contaminated"], r["contaminated"]) == \
+            (flags[i]["n_ngrams"], flags[i]["n_contaminated"],
+             flags[i]["contaminated"])
+        assert (r["n_tokens"], r["n_covered"], r["covered_frac"]) == \
+            (cov[i]["n_tokens"], cov[i]["n_covered"],
+             cov[i]["covered_frac"])
+        some_contaminated |= r["contaminated"]
+    assert some_contaminated
