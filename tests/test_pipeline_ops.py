@@ -824,3 +824,26 @@ def test_decontamination_report_equals_composition(spark, docs):
              cov[i]["covered_frac"])
         some_contaminated |= r["contaminated"]
     assert some_contaminated
+
+
+def test_decontaminate_removes_by_coverage_rule(spark, docs):
+    """Removal form: benchmark members (coverage 1.0) are dropped at
+    the Llama-2 0.8 threshold; everything else survives with its
+    original schema; threshold 0.0 applies the any-collision rule."""
+    from dlp_plugins_spark.operators.decontaminate import (
+        decontaminate, decontamination_report,
+    )
+
+    corpus = docs.select("doc_id", "text", "lang") \
+        .filter(F.col("doc_id") < 200)
+    bench = corpus.filter(F.col("doc_id") % 17 == 0)
+    out = decontaminate(corpus, bench, n=13, max_covered_frac=0.8)
+    assert out.columns == corpus.columns
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    rep = {r["doc_id"]: r for r in
+           decontamination_report(corpus, bench, n=13).collect()}
+    expect = {i for i, r in rep.items() if r["covered_frac"] <= 0.8}
+    assert kept == expect and len(kept) < corpus.count()
+    strict = decontaminate(corpus, bench, n=13, max_covered_frac=0.0)
+    kept0 = {r["doc_id"] for r in strict.select("doc_id").collect()}
+    assert kept0 == {i for i, r in rep.items() if r["covered_frac"] == 0.0}
