@@ -1376,8 +1376,10 @@ def q_cdc_debezium_parse(spark, sf_dir):
         f for f in B.BINLOG_SCHEMA.fields
         if f.name not in ("op", "lsn", "batch_id")
     ])
+    # tiny fixture: 4 generator partitions, not defaultParallelism —
+    # 32 Arrow worker round-trips for 3000 rows is pure task overhead
     ev = B.generate_binlog(spark, 0, 3000, n_repos=20, paths_per_repo=30,
-                           batch_size=1000)
+                           batch_size=1000, parallelism=4)
     good = to_debezium_json(ev, B.TABLE_KEY)
     bad = spark.createDataFrame(
         [('{"op":"x","after":{"repo":"r","path":"p"},"source":{"lsn":1}}',),
