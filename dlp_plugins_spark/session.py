@@ -48,6 +48,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
+    if master.startswith("local"):
+        # Single-host shuffle: blocks land in the page cache / local
+        # disk, so lz4 saves no network and costs pure CPU on the merge
+        # path (interleaved A/B on the 8M-event replay at local[8]:
+        # 447-477k -> 545-557k events/s, repeatable). A real cluster is
+        # network-bound on shuffle and keeps Spark's default (true) —
+        # this branch only fires for local masters. Transport-level
+        # only: results and state hashes are unchanged (test-asserted).
+        builder = builder \
+            .config("spark.shuffle.compress", "false") \
+            .config("spark.shuffle.spill.compress", "false")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -847,3 +847,51 @@ def test_decontaminate_removes_by_coverage_rule(spark, docs):
     strict = decontaminate(corpus, bench, n=13, max_covered_frac=0.0)
     kept0 = {r["doc_id"] for r in strict.select("doc_id").collect()}
     assert kept0 == {i for i, r in rep.items() if r["covered_frac"] == 0.0}
+
+
+def test_coverage_sweep_matches_bruteforce_random(spark):
+    """Seeded-random property test for the interval-sweep covered-span
+    union: small n (5) over a tiny vocabulary maximizes overlapping
+    matched spans, the regime where off-by-ones in the sweep would
+    show. Brute force recomputes coverage as an explicit position-set
+    union in Python."""
+    import random
+
+    from dlp_plugins_spark.operators.decontaminate import (
+        decontamination_report,
+    )
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {i: " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(0, 41)))
+             for i in range(60)}
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()])
+    bench_ids = sorted(rng.sample(range(60), 8))
+    bench = corpus.filter(F.col("doc_id").isin(bench_ids))
+    n = 5
+
+    def grams(words):
+        return [" ".join(words[i:i + n])
+                for i in range(len(words) - n + 1)]
+
+    bench_set = set()
+    for i in bench_ids:
+        bench_set.update(grams(texts[i].split()))
+    got = {r["doc_id"]: r for r in
+           decontamination_report(corpus, bench, n=n).collect()}
+    assert set(got) == set(texts)
+    for i, t in texts.items():
+        w = t.split() if t else []
+        gs = grams(w)
+        covered = set()
+        for p, g in enumerate(gs):
+            if g in bench_set:
+                covered.update(range(p, p + n))
+        r = got[i]
+        # split("") yields [""] on both engines -> one empty token
+        assert r["n_tokens"] == (1 if t == "" else len(w)), i
+        assert r["n_ngrams"] == len(set(gs)), i
+        assert r["n_contaminated"] == len(set(gs) & bench_set), i
+        assert r["n_covered"] == len(covered), i
