@@ -405,7 +405,7 @@ class LakeTable:
         self,
         new_data_by_bucket: DataFrame,
         touched_buckets: list[int],
-        lsn_range: tuple[int, int],
+        lsn_range: tuple[int, int] | list[tuple[int, int]],
         batch_ids: list[int],
         schema: T.StructType,
         lineage_extra: dict | None = None,
@@ -424,6 +424,14 @@ class LakeTable:
         (with an ``_op`` column) that ``read`` resolves lazily.
 
         ``new_data_by_bucket`` must carry a ``_bucket`` column.
+
+        ``lsn_range`` may be a single ``(lo, hi)`` pair (batch replay:
+        windows are aligned, so one span is exact) or a LIST of pairs
+        (streaming tail: a micro-batch follows file boundaries, so its
+        LSNs may cover several non-contiguous windows — committing one
+        global span would mark the gap LSNs applied before they were
+        ever delivered, and the exactly-once filter would then drop
+        them on arrival; per-window spans keep the applied set exact).
 
         ``expected_parent``: optimistic concurrency — the snapshot id the
         caller's merge was computed against. The manifest swap happens
@@ -505,9 +513,13 @@ class LakeTable:
             else:
                 kept = [f for f in prev.files if f["bucket"] not in touched]
             # maintenance commits (compaction) apply no LSNs: skip the range
-            new_ranges = prev.applied_ranges + (
-                [list(lsn_range)] if 0 <= lsn_range[0] <= lsn_range[1] else []
+            spans = (
+                [list(r) for r in lsn_range]
+                if lsn_range and isinstance(lsn_range[0], (list, tuple))
+                else [list(lsn_range)]
             )
+            spans = [s for s in spans if 0 <= s[0] <= s[1]]
+            new_ranges = prev.applied_ranges + spans
             # coalesce adjacent/overlapping ranges: the exactly-once
             # filter is one predicate term per range — sequential replay
             # stays at O(1) ranges instead of one per batch forever
@@ -537,7 +549,14 @@ class LakeTable:
                 "snapshot_id": commit_id,
                 "parent": prev.snapshot_id,
                 "batch_ids": sorted(batch_ids),
-                "lsn_range": list(lsn_range),
+                # envelope span for audit tooling (lineage_df schema);
+                # the EXACT applied set is `lsn_spans` when a streaming
+                # micro-batch covered non-contiguous LSN windows
+                "lsn_range": (
+                    [min(s[0] for s in spans), max(s[1] for s in spans)]
+                    if spans else list(lsn_range)
+                ),
+                **({"lsn_spans": spans} if len(spans) > 1 else {}),
                 "touched_buckets": sorted(touched_buckets),
                 "bucket_rows": bucket_rows,
                 "n_files": len(files),

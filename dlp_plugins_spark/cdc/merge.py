@@ -124,8 +124,24 @@ def merge_batch(
     lineage_extra: dict | None = None,
     conflict_retries: int = 0,
     merge_path: str = "bucket",
+    lsn_window: int | None = None,
 ) -> MergeStats | None:
     """Apply one micro-batch to the lake table, committing a snapshot.
+
+    ``lsn_window``: streaming-tail mode. Batch replay aligns its batches
+    to LSN windows, so committing one global ``[lo, hi]`` applied-range
+    is exact. A streaming micro-batch follows FILE boundaries instead:
+    its LSNs can cover several windows, and (after a restart re-chunks
+    the source) non-contiguous ones — one global span would mark the
+    gap LSNs applied before they were delivered, silently dropping them
+    on arrival. With ``lsn_window=W`` set, the J1 stats job additionally
+    groups by ``lsn // W`` and the commit records ONE applied-range per
+    window actually present (bounded: a micro-batch spans few windows),
+    so the applied set never covers an undelivered LSN. Callers in this
+    mode pass ``batch_ids=[]`` — the batch-id early-return is only
+    sound when the idempotence unit equals the delivery unit, which
+    file-boundary micro-batches violate; row-level range filtering is
+    the single source of truth instead.
 
     ``merge_path``: ``'bucket'`` (default, round 3) shuffles ONCE,
     aligned with the table layout: repartition by ``_bucket`` ->
@@ -213,7 +229,7 @@ def merge_batch(
     for _ in range(max(conflict_retries, 0) + 1):
         try:
             return _merge_once(table, batch, batch_ids, salted, transform,
-                               mode, lineage_extra, merge_path)
+                               mode, lineage_extra, merge_path, lsn_window)
         except CommitConflict as exc:
             last = exc
     raise last
@@ -228,6 +244,7 @@ def _merge_once(
     mode: str,
     lineage_extra: dict | None,
     merge_path: str = "bucket",
+    lsn_window: int | None = None,
 ) -> MergeStats | None:
     spark = batch.sparkSession
     snap = table.current_snapshot()
@@ -240,7 +257,16 @@ def _merge_once(
     )
 
     # ---- J1: per-bucket stats on the raw batch (JVM-only, cheap) -----------
-    stats_rows = fresh.groupBy("_bucket").agg(
+    # Streaming mode additionally groups by LSN window (lsn // W): the
+    # same one job then yields BOTH the bucket stats and the per-window
+    # applied-ranges — still bounded output (n_buckets x few windows).
+    stats_src = fresh
+    group_cols = ["_bucket"]
+    if lsn_window is not None:
+        stats_src = fresh.withColumn(
+            "_w", (F.col(LSN_COL) / F.lit(int(lsn_window))).cast("long"))
+        group_cols.append("_w")
+    stats_rows = stats_src.groupBy(*group_cols).agg(
         F.count("*").alias("n"),
         F.min(LSN_COL).alias("lo"),
         F.max(LSN_COL).alias("hi"),
@@ -251,10 +277,28 @@ def _merge_once(
     ).collect()
     if not stats_rows:
         return None
-    touched = [r["_bucket"] for r in stats_rows]
-    n_batch = sum(r["n"] for r in stats_rows)
-    lo = min(r["lo"] for r in stats_rows)
-    hi = max(r["hi"] for r in stats_rows)
+    bucket_n: dict[int, int] = {}
+    for r in stats_rows:
+        bucket_n[r["_bucket"]] = bucket_n.get(r["_bucket"], 0) + r["n"]
+    touched = sorted(bucket_n)
+    n_batch = sum(bucket_n.values())
+    if lsn_window is None:
+        commit_range = (
+            int(min(r["lo"] for r in stats_rows)),
+            int(max(r["hi"] for r in stats_rows)),
+        )
+    else:
+        windows: dict[int, tuple[int, int]] = {}
+        for r in stats_rows:
+            w = r["_w"]
+            cur = windows.get(w)
+            windows[w] = (
+                (r["lo"], r["hi"]) if cur is None
+                else (min(cur[0], r["lo"]), max(cur[1], r["hi"]))
+            )
+        commit_range = [
+            (int(a), int(b)) for a, b in sorted(windows.values())
+        ]
     op_counts = {
         o: s for o in ("I", "U", "D")
         if (s := sum(r[f"n_{o}"] for r in stats_rows))
@@ -265,7 +309,7 @@ def _merge_once(
     # single-key storms; Zipf alone doesn't trip this), pre-reduce the
     # batch with the salted two-phase LWW so no single reduce task
     # receives the whole storm. salted=True forces it.
-    max_share = max(r["n"] for r in stats_rows) / n_batch
+    max_share = max(bucket_n.values()) / n_batch
     salted_eff = salted or (n_batch >= 100_000 and max_share > 0.3)
 
     # ---- schema evolution: adopt new nullable payload columns --------------
@@ -320,7 +364,7 @@ def _merge_once(
         table.commit_merge(
             delta_rows,
             touched_buckets=touched,
-            lsn_range=(int(lo), int(hi)),
+            lsn_range=commit_range,
             batch_ids=batch_ids,
             schema=evolved_schema,
             lineage_extra={"op_counts": op_counts, "batch_rows": n_batch,
@@ -370,7 +414,7 @@ def _merge_once(
         table.commit_merge(
             winners,
             touched_buckets=touched,
-            lsn_range=(int(lo), int(hi)),
+            lsn_range=commit_range,
             batch_ids=batch_ids,
             schema=evolved_schema,
             lineage_extra={"op_counts": op_counts, "batch_rows": n_batch,
@@ -412,7 +456,7 @@ def _merge_once(
     table.commit_merge(
         winners,
         touched_buckets=touched,
-        lsn_range=(int(lo), int(hi)),
+        lsn_range=commit_range,
         batch_ids=batch_ids,
         schema=evolved_schema,
         lineage_extra={"op_counts": op_counts, "batch_rows": n_batch,

@@ -236,15 +236,19 @@ def decontamination_report(docs: DataFrame, bench: DataFrame, n: int = 13,
 def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 13,
                   max_covered_frac: float = 0.8,
                   text_col: str = "text", id_col: str = "doc_id",
-                  bench_text_col: str | None = None) -> DataFrame:
+                  bench_text_col: str | None = None,
+                  broadcast_bench: bool = True) -> DataFrame:
     """The removal form: drop corpus documents whose benchmark token
     coverage exceeds ``max_covered_frac`` (the Llama-2 A.6 decision
     rule at its published default 0.8; set 0.0 to apply GPT-3's
     any-collision rule). Returns ``docs`` rows that survive, schema
-    unchanged — the shape a training-data pipeline actually plugs in."""
+    unchanged — the shape a training-data pipeline actually plugs in.
+    ``broadcast_bench=False`` is the escape hatch for a benchmark set
+    too large to broadcast (falls back to a shuffled equi-join)."""
     rep = decontamination_report(docs, bench, n=n, text_col=text_col,
                                  id_col=id_col,
-                                 bench_text_col=bench_text_col)
+                                 bench_text_col=bench_text_col,
+                                 broadcast_bench=broadcast_bench)
     dirty = rep.filter(F.col("covered_frac") > max_covered_frac) \
         .select(id_col)
     return docs.join(dirty, on=id_col, how="left_anti")

@@ -24,11 +24,39 @@ small, sort-merge otherwise (AQE decides).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from dlp_plugins_spark.functions.text import fingerprint_md5, with_shingle_set
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Cut the plan at a build-the-index-then-query-it boundary.
+
+    Default (``local``): ``localCheckpoint(eager=True)`` — measured
+    fastest locally (the candidate DAGs below reference these slivers
+    3-6x; re-evaluating the upstream md5/minhash pipelines per
+    reference dominated wall). Two caveats for cluster deployments,
+    surfaced by round-4 external review: the eager checkpoint runs
+    Spark jobs as a side effect of constructing an otherwise-lazy
+    DataFrame, and locally-checkpointed blocks are NOT recomputable —
+    one lost executor fails the query instead of recovering.
+    ``SPARK_GRAFT_MATERIALIZE=persist`` keeps lineage (executor loss
+    recomputes; construction stays lazy) at the cost of re-evaluating
+    the upstream pipeline once per downstream job until the cache is
+    hot; ``off`` disables the barrier entirely (debugging / tiny
+    inputs). The iterative connected-components loop is NOT routed
+    through this switch — lineage truncation there is load-bearing
+    (the plan doubles per round without it)."""
+    mode = os.environ.get("SPARK_GRAFT_MATERIALIZE", "local")
+    if mode == "persist":
+        return df.persist()
+    if mode == "off":
+        return df
+    return df.localCheckpoint(eager=True)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -120,7 +148,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     # Band rows are (id, int, long) — a sliver of corpus bytes.
     exploded = ids.select(
         id_col, F.posexplode("_bands").alias("_band_idx", "_band_hash")
-    ).localCheckpoint(eager=True)
+    ).transform(_materialize)
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (
@@ -139,7 +167,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
         # id-union branches + two verify joins); banding bounds its
         # size, so materializing is cheap at any scale (interleaved A/B
         # at sf0.1: ~1.3x on the attested minhash pipeline)
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     return pairs
 
@@ -164,7 +192,7 @@ def exact_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     sets_df = with_shingle_set(
         needed.select(F.col(id_col).alias("_id"), text_col),
         text_col, k=shingle_k, out="_set", id_cols=["_id"],
-    ).localCheckpoint(eager=True)
+    ).transform(_materialize)
     a = sets_df.alias("sa")
     b = sets_df.alias("sb")
     joined = (
@@ -239,7 +267,7 @@ def char_ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     sets_df = char_ngram_set(
         needed.select(F.col(id_col).alias("_id"), text_col),
         text_col, n=n, out="_set", id_cols=["_id"],
-    ).localCheckpoint(eager=True)
+    ).transform(_materialize)
     a, b = sets_df.alias("ga"), sets_df.alias("gb")
     joined = (
         pairs.join(a, pairs.a_id == F.col("ga._id"))
@@ -295,7 +323,7 @@ def winnow_near_dup_pairs(df: DataFrame, text_col: str = "text",
     # on executor-local disk.
     fps = winnow_fingerprints(df.select(id_col, text_col), text_col,
                               k=k, w=w, id_cols=[id_col], out="_fp") \
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     rare = (fps.groupBy("_fp").agg(F.count("*").alias("_df"))
             .filter(F.col("_df") <= max_df).select("_fp"))
     fps = fps.join(rare, "_fp", "left_semi")
@@ -319,7 +347,7 @@ def winnow_near_dup_pairs(df: DataFrame, text_col: str = "text",
         # are bounded by max_df/min_shared and tiny next to the corpus,
         # so materializing them is cheap at any scale — the same
         # candidates-are-small assumption the LSH verify tier makes.
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     verified = char_ngram_jaccard_pairs(
         df, cands.select("a_id", "b_id"), text_col, id_col, n=n)

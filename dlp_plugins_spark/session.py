@@ -8,6 +8,7 @@ partitioning). Keep every knob here so tests/bench/replay agree.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -48,7 +49,7 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
-    if master.startswith("local"):
+    if re.match(r"local(\[|$)", master):
         # Single-host shuffle: blocks land in the page cache / local
         # disk, so lz4 saves no network and costs pure CPU on the merge
         # path (interleaved A/B on the 8M-event replay at local[8]:

@@ -10,13 +10,30 @@ Semantics:
 - the parquet file source discovers newly committed segment files;
   ``maxFilesPerTrigger`` bounds micro-batch size;
 - every micro-batch runs ``merge_batch`` with the DLP transform
-  pipelined inside (identical to batch replay), deriving batch ids from
-  the LSNs present, so the lake table's manifest — NOT the Spark
-  checkpoint — remains the source of truth for exactly-once: replaying
-  a segment (stream restart, checkpoint loss, duplicate file) is
-  filtered by applied-LSN ranges before any write;
-- ordering: LWW by LSN makes arrival order irrelevant, so the file
-  source's nondeterministic discovery order is safe.
+  pipelined inside (identical to batch replay);
+- **exactly-once is row-level, not batch-level**: a streaming
+  micro-batch follows FILE boundaries, so the batch-replay window ids
+  carried in the data are NOT a sound idempotence unit here — a window
+  whose events span two micro-batches would be marked applied by the
+  first and its remainder dropped by the second's early-return.
+  Streaming therefore passes ``batch_ids=[]`` and relies solely on the
+  manifest's applied-LSN ranges (``lake.applied_filter``), committed
+  per LSN WINDOW present in the micro-batch (``lsn_window`` in
+  ``merge_batch``) so a committed range never spans an undelivered
+  LSN. Replaying a segment (stream restart, checkpoint loss, duplicate
+  file, at-least-once broker) is filtered row-by-row before any write;
+  a fully-replayed micro-batch commits nothing.
+- ordering: LWW by LSN makes arrival order irrelevant for STATE in
+  merge-on-read mode (tombstones live in the deltas; read-time LWW is
+  exact in any order). Merge-on-write inherits ``merge_batch``'s
+  documented contract — windows must apply in LSN order, since mow
+  drops tombstones at merge time — which a single in-order file tail
+  satisfies; an out-of-order tail (or one sharing the table with
+  other writers) runs ``mode='mor'``. For the applied-range
+  bookkeeping the only assumption is that one micro-batch's
+  intersection with one LSN window is a contiguous run of the log —
+  true for a file source over segment files that are themselves
+  contiguous LSN runs, in any file order.
 
 At cluster scale the same code runs against a cloud-storage segment
 directory; the Spark checkpoint adds source-offset resume on top of the
@@ -25,6 +42,8 @@ correctness, together they also avoid re-reading old segments).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -56,6 +75,8 @@ def stream_replay(
     transform_spec=None,
     batch_lsn_size: int = 100_000,
     max_files_per_trigger: int = 4,
+    mode: str = "mow",
+    conflict_retries: int = 0,
 ):
     """Start the streaming replay; returns the StreamingQuery.
 
@@ -64,7 +85,16 @@ def stream_replay(
 
     ``transform_spec`` defaults to the same DLP stage as the batch
     replay driver (stream and batch must produce identical bytes); pass
-    ``[]`` explicitly for a transform-free tail."""
+    ``[]`` explicitly for a transform-free tail.
+
+    ``batch_lsn_size`` is the applied-range bookkeeping granularity
+    (one committed range per LSN window present in each micro-batch) —
+    it need not match the batch replay's window size.
+
+    ``mode`` / ``conflict_retries`` forward to ``merge_batch``: a tail
+    sharing its table with other writers runs ``mode='mor'`` (deltas
+    may land in any LSN order; read-time LWW resolves) with retries for
+    optimistic-concurrency conflicts."""
     spec = (transform_spec if transform_spec is not None
             else DEFAULT_TRANSFORM_SPEC)
 
@@ -73,13 +103,13 @@ def stream_replay(
             return
         tf = (lambda df: apply_transforms(df, spec, mask_col="_fresh")) \
             if spec else None
-        # batch ids derive from data, not epoch: the manifest check stays
-        # valid across stream restarts that re-chunk the source
-        bids = [
-            r["batch_id"]
-            for r in batch_df.select("batch_id").distinct().collect()
-        ]
-        merge_batch(table, batch_df, batch_ids=sorted(bids), transform=tf)
+        # batch_ids=[] + lsn_window: exactly-once rests on row-level
+        # applied-range filtering (see module docstring) — the data's
+        # batch_id column is a replay-window label, not a delivery unit
+        merge_batch(table, batch_df, batch_ids=[], transform=tf,
+                    mode=mode, conflict_retries=conflict_retries,
+                    lsn_window=batch_lsn_size,
+                    lineage_extra={"stream_epoch": int(epoch_id)})
 
     return (
         stream_binlog(spark, segment_dir, max_files_per_trigger)
@@ -101,20 +131,24 @@ def stream_debezium_replay(
     batch_lsn_size: int = 100_000,
     max_files_per_trigger: int = 4,
     payload_schema=None,
+    mode: str = "mow",
+    conflict_retries: int = 0,
 ):
     """Streaming tail over Debezium-envelope JSON line files — the wire-
     format twin of ``stream_replay``. Each micro-batch parses the
-    envelopes JVM-side (``sources/cdc_json.parse_debezium``), appends
-    unparseable/op-unknown/imageless rows to ``error_dir`` as parquet
-    (the error port stays LIVE in deployment — malformed wire data is
-    quarantined with the raw line intact, never silently dropped), and
-    merges the clean events through the SAME merge path as batch replay.
+    envelopes JVM-side (``sources/cdc_json.parse_debezium``), writes
+    unparseable/op-unknown/imageless rows to ``error_dir/epoch=<id>``
+    as parquet (the error port stays LIVE in deployment — malformed
+    wire data is quarantined with the raw line intact, never silently
+    dropped; the per-epoch overwrite makes a micro-batch RETRY
+    idempotent, where a flat append would duplicate quarantined rows),
+    and merges the clean events through the SAME merge path as batch
+    replay.
 
-    Batch ids derive from LSN windows (``lsn // batch_lsn_size``) since
-    the envelope carries no batch id; exactly-once still rests on the
-    manifest's applied-LSN ranges, so re-delivered envelopes (restart,
-    checkpoint loss, at-least-once brokers) are dropped before any
-    write."""
+    Exactly-once: identical to ``stream_replay`` — no batch ids, only
+    per-LSN-window applied ranges; re-delivered envelopes (restart,
+    checkpoint loss, at-least-once brokers) are dropped row-by-row
+    before any write."""
     import pyspark.sql.types as T
 
     from dlp_plugins_spark.sources.cdc_json import parse_debezium
@@ -132,17 +166,19 @@ def stream_debezium_replay(
             return
         events, errors = parse_debezium(
             batch_df, payload_schema, table.key_cols)
-        errors.write.mode("append").parquet(error_dir)
+        # idempotent error port: one dir per epoch, overwritten on retry
+        # (a replayed epoch re-delivers the same files, hence the same
+        # error rows); readers partition-discover `epoch` from the path
+        errors.write.mode("overwrite").parquet(
+            os.path.join(error_dir, f"epoch={int(epoch_id)}"))
         if events.isEmpty():
             return
         tf = (lambda df: apply_transforms(df, spec, mask_col="_fresh")) \
             if spec else None
-        bids = [
-            r["_b"] for r in events.select(
-                (events.lsn / batch_lsn_size).cast("long").alias("_b")
-            ).distinct().collect()
-        ]
-        merge_batch(table, events, batch_ids=sorted(bids), transform=tf)
+        merge_batch(table, events, batch_ids=[], transform=tf,
+                    mode=mode, conflict_retries=conflict_retries,
+                    lsn_window=batch_lsn_size,
+                    lineage_extra={"stream_epoch": int(epoch_id)})
 
     return (
         spark.readStream

@@ -47,9 +47,13 @@ def test_stream_replay_matches_batch_replay(spark, tmp_path):
     h_stream = state_hash(spark_state_pdf(spark, stream_table))
     h_batch = state_hash(spark_state_pdf(spark, batch_table))
     assert h_stream == h_batch
-    # exactly-once bookkeeping recorded per data-derived batch id
+    # exactly-once bookkeeping is row-level LSN ranges, NOT batch ids:
+    # file-boundary micro-batches make window ids an unsound idempotence
+    # unit (a split window's remainder would be dropped), so streaming
+    # commits no batch ids and the ranges must cover exactly [0, 2999]
     snap = stream_table.current_snapshot()
-    assert sorted(snap.applied_batches) == [0, 1, 2]
+    assert snap.applied_batches == []
+    assert snap.applied_ranges == [[0, 2999]]
 
 
 def test_stream_restart_does_not_duplicate(spark, tmp_path):
@@ -73,6 +77,82 @@ def test_stream_restart_does_not_duplicate(spark, tmp_path):
     q2.awaitTermination(120)
     assert table.current_snapshot().snapshot_id == sid  # no new commit
     assert state_hash(spark_state_pdf(spark, table)) == h1
+
+
+def test_stream_window_split_across_microbatches(spark, tmp_path):
+    """Regression (round-4 advice, HIGH): segment files NOT aligned to
+    LSN windows. Two segments both inside window 0 (batch_lsn_size=1000)
+    drain as separate micro-batches; with window-id-based idempotence
+    the second micro-batch's window is already marked applied and its
+    500 events are silently dropped. Row-level applied-range
+    exactly-once must keep them: final state equals batch replay."""
+    seg_dir = str(tmp_path / "segments")
+    os.makedirs(seg_dir)
+    # window 0 split across two files, then a file straddling windows 1-2
+    for i, (lo, hi) in enumerate([(0, 500), (500, 1000), (1000, 3000)]):
+        B.generate_binlog(spark, lo, hi, batch_size=3000, **GEN) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(seg_dir, f"seg-{i:04d}"))
+
+    stream_table = LakeTable.create(
+        str(tmp_path / "t_stream"), _payload(), B.TABLE_KEY, n_buckets=8)
+    q = stream_replay(spark, stream_table, seg_dir + "/*",
+                      str(tmp_path / "ckpt"), batch_lsn_size=1000,
+                      max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    batch_table = LakeTable.create(
+        str(tmp_path / "t_batch"), _payload(), B.TABLE_KEY, n_buckets=8)
+    replay(spark, batch_table, 0, 3000, batch_size=1000, gen_kwargs=GEN)
+
+    assert state_hash(spark_state_pdf(spark, stream_table)) == \
+        state_hash(spark_state_pdf(spark, batch_table))
+    assert stream_table.current_snapshot().applied_ranges == [[0, 2999]]
+
+
+def test_stream_noncontiguous_windows_one_microbatch(spark, tmp_path):
+    """Regression (round-4 advice, HIGH — range-span variant): one
+    micro-batch covering windows 0 AND 2 while window 1 arrives later.
+    A single global [lo, hi] commit would mark window 1's LSNs applied
+    before delivery and drop them; per-window ranges must leave the gap
+    open so the late window still lands. Out-of-window-order apply
+    requires merge-on-read (mow drops tombstones at merge time, so a
+    later-applied LOWER window could resurrect a deleted key — the
+    documented mow ordering contract in merge_batch)."""
+    seg_dir = str(tmp_path / "segments")
+    os.makedirs(seg_dir)
+    for name, (lo, hi) in [("seg-0000", (0, 1000)), ("seg-0001", (2000, 3000))]:
+        B.generate_binlog(spark, lo, hi, batch_size=3000, **GEN) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(seg_dir, name))
+
+    table = LakeTable.create(
+        str(tmp_path / "t"), _payload(), B.TABLE_KEY, n_buckets=8)
+    # both files in ONE micro-batch -> windows {0, 2} in one commit
+    q = stream_replay(spark, table, seg_dir + "/*", str(tmp_path / "c1"),
+                      batch_lsn_size=1000, max_files_per_trigger=2,
+                      mode="mor")
+    q.awaitTermination(120)
+    assert table.current_snapshot().applied_ranges == \
+        [[0, 999], [2000, 2999]]
+
+    # window 1 arrives late; a fresh checkpoint even re-reads all files
+    # (redelivery) — rows of windows 0/2 are dropped row-level, window 1
+    # must be applied
+    B.generate_binlog(spark, 1000, 2000, batch_size=3000, **GEN) \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(seg_dir, "seg-0002"))
+    q2 = stream_replay(spark, table, seg_dir + "/*", str(tmp_path / "c2"),
+                       batch_lsn_size=1000, max_files_per_trigger=2,
+                       mode="mor")
+    q2.awaitTermination(120)
+    assert table.current_snapshot().applied_ranges == [[0, 2999]]
+
+    batch_table = LakeTable.create(
+        str(tmp_path / "t_batch"), _payload(), B.TABLE_KEY, n_buckets=8)
+    replay(spark, batch_table, 0, 3000, batch_size=1000, gen_kwargs=GEN)
+    assert state_hash(spark_state_pdf(spark, table)) == \
+        state_hash(spark_state_pdf(spark, batch_table))
 
 
 def test_read_text_offsets(spark, tmp_path):
