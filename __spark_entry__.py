@@ -3,20 +3,26 @@
 ``entry(spark)`` — flagship: DLP redaction pipeline over sf0.001 docs.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 incl.
 §2.7 engine-added ops + the training-data-pipeline operators); each
-callable (spark, sf_dir) -> DF. 57 entries, ordered so the oracle-backed
-ones precede the rows-only ones (the correctness driver runs at most 50
-queries; oracle-backed entries 51-53 — winnow_fingerprints,
-cdc_debezium_parse, repetition_quality — are attested by the identical
-local gate in tests/test_entry_oracle.py).
+callable (spark, sf_dir) -> DF. 55 entries: 50 oracle-backed FIRST
+(the correctness driver runs at most 50 queries, so ordering is
+attestation-load-bearing — asserted by tests/test_entry_oracle.py::
+test_oracle_queries_fit_driver_cap), then the 5 rows-only ones.
+Near-duplicate attestations are consolidated into multi-column queries
+so every oracle-backed operator gets a driver-green CORRECTNESS row;
+char_ngram_jaccard's standalone entry was retired in favor of
+corpus_pipeline (its kernel is replayed inside the winnow_near_dup_pairs
+oracle and keeps a local gate in test_entry_oracle.py).
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/aliases both sides; floats rounded identically).
-53 entries; this includes planted-fixture oracles (embedding/minhash
+50 entries; this includes planted-fixture oracles (embedding/minhash
 near-dups, lang-ID), persisted-binlog replication (CDC replay + schema
 evolution), aggregate round-trip invariants (FPE / deterministic
-encryption), and the portable context-keyed date shift. The 4 queries
-without an oracle are genuinely non-SQL-expressible (simhash signatures,
-approximate ANN top-k) — the driver records rows-only checks for those;
-their real verification lives in tests/ (recall gates, known values).
+encryption), the portable context-keyed date shift, and the composed
+corpus_pipeline (quality -> paragraph dedup -> minhash dedup ->
+decontaminate in one chained plan). The 5 queries without an oracle are
+genuinely non-SQL-expressible (simhash signatures, approximate ANN
+top-k) — the driver records rows-only checks for those; their real
+verification lives in tests/ (recall gates, known values).
 """
 
 from __future__ import annotations
@@ -1777,6 +1783,152 @@ ORDER BY g.doc_id
 """
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """The composed training-corpus pipeline — the shape a real
+    LLM-data job runs as ONE chained Spark plan, ORACLE-ATTESTED
+    end-to-end: quality filter (functions/text.py quality_score >=
+    0.72, ~p25 of the wrapped synthetic corpus) -> C4-style paragraph
+    dedup (operators/dedup.py paragraph_dedup over boilerplate-wrapped
+    texts) -> MinHash-LSH near-dup dedup (minhash_dedup at J >= 0.9; the 10
+    planted ~0.97-Jaccard copies must all be dropped — at 16x4 banding
+    the per-pair LSH miss probability for J >= 0.9 is ~3.9e-8, so the
+    all-pairs DuckDB oracle is exhaustive ground truth) -> benchmark
+    decontamination (decontaminate() at the published Llama-2 0.8
+    token-coverage rule, bench = the raw doc_id % 29 == 0 slice).
+    Returns surviving (doc_id, sha256(text)) — the sha attests every
+    byte of every surviving document through all four stages, so a
+    column-hygiene bug, a lost/duplicated paragraph, or a wrong
+    survivor in ANY stage is a driver red. This is the query that
+    attests the stage INTERACTIONS (widen/materialize stacking, column
+    collisions, plan-size growth) that the per-operator entries cannot.
+    At sf0.01: 510 -> 383 (quality) -> 358 (near-dup) -> 344 surviving
+    docs — every stage drops rows.
+    Runs through operators/pipeline.py corpus_pipeline, which cuts the
+    plan at each stage's document-level output — the naive four-call
+    chain re-evaluates the whole upstream pipeline once per downstream
+    reference (measured 41.6s vs ~8s at sf0.1/local[32])."""
+    from dlp_plugins_spark.operators.pipeline import corpus_pipeline
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzplantedtoken")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    wrapped = corpus.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"),
+                    F.lit("standard disclaimer boilerplate applies"),
+                    F.col("text")).alias("text"),
+    )
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    surv = corpus_pipeline(wrapped, bench, quality_threshold=0.72,
+                           minhash_threshold=0.9, num_perm=64, bands=16,
+                           shingle_k=5, ngram_n=13, max_covered_frac=0.8)
+    return surv.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("text_sha"),
+    ).orderBy("doc_id")
+
+
+_STOP_RE_FULL = r"(?i)\b(" + "|".join(TX.STOPWORDS) + r")\b"
+
+SQL_CORPUS_PIPELINE = rf"""
+WITH base AS (SELECT doc_id, text FROM documents),
+allv AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' zzplantedtoken' AS text
+  FROM base WHERE doc_id < 10),
+wr AS (
+  SELECT doc_id, text || chr(10)
+         || 'standard disclaimer boilerplate applies'
+         || chr(10) || text AS text
+  FROM allv),
+feat AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+    len(regexp_extract_all(text, '{_STOP_RE_FULL}')) AS n_stops,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+    length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS n_punct,
+    length(text) AS n_chars
+  FROM wr),
+scored AS (
+  SELECT doc_id, text,
+    round(0.25 * least(n_tokens / 100.0, 1.0)
+        + 0.25 * (1.0 - least(CASE WHEN n_chars > 0
+              THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END * 4, 1.0))
+        + 0.25 * (1.0 - least(CASE WHEN n_chars > 0
+              THEN CAST(n_digits AS DOUBLE) / n_chars ELSE 0 END * 4, 1.0))
+        + 0.25 * least(CASE WHEN n_tokens > 0
+              THEN CAST(n_stops AS DOUBLE) / n_tokens ELSE 0 END * 3, 1.0),
+      6) AS quality_score
+  FROM feat),
+wrapped AS (SELECT doc_id, text AS t FROM scored
+            WHERE quality_score >= 0.72),
+sp AS (SELECT doc_id, string_split(t, chr(10)) AS p FROM wrapped),
+parts AS (
+  SELECT doc_id, i - 1 AS pos, p[CAST(i AS INT)] AS para
+  FROM (SELECT doc_id, p, unnest(range(1, len(p) + 1)) AS i FROM sp)
+  WHERE length(p[CAST(i AS INT)]) >= 1),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM parts),
+pd AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+  FROM pd),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 3, 1)),
+           i -> array_to_string(w[i:i+4], ' '))) AS s
+  FROM norm WHERE len(w) >= 5),
+losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(a.s || b.s)) > 0
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(a.s || b.s)) >= 0.9),
+md AS (SELECT * FROM pd WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+bnorm AS (
+  SELECT string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+  FROM base WHERE doc_id % 29 = 0),
+bg AS (SELECT DISTINCT unnest(list_transform(
+         range(1, greatest(len(w) - 11, 1)),
+         i -> array_to_string(w[i:i+12], ' '))) AS gram
+       FROM bnorm),
+mnorm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+  FROM md),
+gp AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         list_transform(range(1, greatest(len(w) - 11, 1)),
+           i -> {{'pos': i, 'gram': array_to_string(w[i:i+12], ' ')}}) AS gps
+  FROM mnorm),
+ex AS (SELECT doc_id, unnest(gps) AS gg FROM gp),
+hits AS (SELECT e.doc_id, (e.gg).pos AS pos
+         FROM ex e JOIN bg ON (e.gg).gram = bg.gram),
+cov AS (SELECT doc_id, count(DISTINCT tok) AS n_covered
+        FROM (SELECT doc_id, unnest(range(pos, pos + 13)) AS tok FROM hits)
+        GROUP BY doc_id),
+dirty AS (
+  SELECT gp.doc_id FROM gp LEFT JOIN cov ON gp.doc_id = cov.doc_id
+  WHERE gp.n_tokens > 0
+    AND CAST(coalesce(cov.n_covered, 0) AS DOUBLE) / gp.n_tokens > 0.8)
+SELECT doc_id, sha256(text) AS text_sha FROM md
+WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+ORDER BY doc_id
+"""
+
+
 def q_simhash_docs(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return D.simhash(docs).select("doc_id", "simhash")
@@ -1972,9 +2124,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "token_stats_by_lang": q_token_stats_by_lang,
         "quality_by_source": q_quality_by_source,
-        # dedup & similarity
+        # dedup & similarity. char_ngram_jaccard was retired from the
+        # driver window to make room for corpus_pipeline: its kernel
+        # (char-3-gram Jaccard verify) is replayed bit-for-bit inside
+        # the winnow_near_dup_pairs oracle, and the standalone query
+        # keeps its own local oracle gate in
+        # tests/test_entry_oracle.py::test_char_ngram_jaccard_local_oracle.
         "exact_dedup_keep": q_exact_dedup_keep,
-        "char_ngram_jaccard": q_char_ngram_jaccard,
         "near_dup_components": q_near_dup_components,
         "brute_force_topk": q_brute_force_topk,
         "top_similar_pairs": q_top_similar_pairs,
@@ -1997,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
         "paragraph_dedup": q_paragraph_dedup,
         "ngram_decontaminate": q_ngram_decontaminate,
+        "corpus_pipeline": q_corpus_pipeline,
         # genuinely non-SQL-expressible (rows-only; the driver runs at
         # most 50 queries, so ALL oracle-backed entries come first — the
         # ordering invariant is test-asserted by
@@ -2050,7 +2207,6 @@ def oracle_sql() -> dict[str, str]:
         "range_join_event_tiers": SQL_RANGE_JOIN_TIERS,
         "sessionize_events": SQL_SESSIONIZE,
         "value_percentiles_by_type": SQL_VALUE_PERCENTILES,
-        "char_ngram_jaccard": SQL_CHAR_NGRAM_JACCARD,
         "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "crypto_hash_langs": SQL_CRYPTO_HASH_INVARIANTS,
@@ -2069,4 +2225,5 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_dup_pairs": SQL_WINNOW_NEAR_DUP_PAIRS,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "ngram_decontaminate": SQL_NGRAM_DECONTAMINATE,
+        "corpus_pipeline": SQL_CORPUS_PIPELINE,
     }

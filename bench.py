@@ -60,13 +60,13 @@ BENCH_QUERIES = [
     "token_stats_by_lang",
     "quality_by_source",
     "exact_dedup_keep",
-    "char_ngram_jaccard",
     "near_dup_components",
     "minhash_near_dup_pairs",
     "winnow_fingerprints",
     "winnow_near_dup_pairs",
     "paragraph_dedup",
     "ngram_decontaminate",
+    "corpus_pipeline",
     "repetition_quality",
     "cdc_debezium_parse",
     "simhash_docs",

@@ -84,6 +84,19 @@ def test_query_matches_oracle(spark, name):
         )
 
 
+def test_char_ngram_jaccard_local_oracle(spark):
+    """char_ngram_jaccard was retired from the driver's 50-query window
+    to make room for corpus_pipeline (its kernel — char-3-gram Jaccard
+    verify — is replayed bit-for-bit inside the driver-attested
+    winnow_near_dup_pairs oracle). The standalone query keeps the
+    IDENTICAL gate here so the operator never regresses locally."""
+    spark_pdf = E.q_char_ngram_jaccard(spark, SF_DIR).toPandas()
+    duck_pdf = _duck(E.SQL_CHAR_NGRAM_JACCARD)
+    assert len(spark_pdf) == len(duck_pdf)
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    assert _value_hash(spark_pdf) == _value_hash(duck_pdf)
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
 def test_rows_only_queries_run_and_are_deterministic(spark, name):
     q = E.queries()[name]

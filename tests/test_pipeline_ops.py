@@ -895,3 +895,71 @@ def test_coverage_sweep_matches_bruteforce_random(spark):
         assert r["n_ngrams"] == len(set(gs)), i
         assert r["n_contaminated"] == len(set(gs) & bench_set), i
         assert r["n_covered"] == len(covered), i
+
+
+def test_corpus_pipeline_each_stage_acts(spark):
+    """corpus_pipeline (operators/pipeline.py) end-to-end on a
+    hand-built fixture where every stage has exactly one designed
+    casualty: a junk doc the quality filter must drop, a repeated
+    boilerplate paragraph only the FIRST survivor keeps, a ~0.97-
+    Jaccard near-dup pair whose larger id must lose, and a benchmark
+    quote the decontamination stage must remove."""
+    from dlp_plugins_spark.operators.pipeline import corpus_pipeline
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight "
+            "while the moon rises slowly over the hills")
+    boiler = "all rights reserved boilerplate"
+    rows = [
+        # 0: clean doc
+        Row(doc_id=0, text=base),
+        # 1: boilerplate paragraph's first occurrence (keeps the span)
+        Row(doc_id=1, text="a completely different story about many "
+            "small ships that sail the wide open sea at dawn and "
+            "return to the harbor when the evening comes\n" + boiler),
+        # 2: near-dup of 0 (one word appended; shingle J ~ 0.93)
+        Row(doc_id=2, text=base + " zz"),
+        # 3: junk the quality filter drops (pure digits/punct)
+        Row(doc_id=3, text="000 111 222 !!! ### $$$ %%% 333 444 555"),
+        # 4: the benchmark doc itself (full coverage -> decontaminated)
+        Row(doc_id=4, text="every member of the hidden benchmark set "
+            "must be removed from the training corpus because its "
+            "tokens are fully covered by its own matching ngrams "
+            "exactly as the published decision rule requires here"),
+        # 5: same boilerplate paragraph; must lose the span but survive
+        Row(doc_id=5, text="one more unrelated tale where a patient "
+            "gardener waters rows of bright flowers every single "
+            "morning before the summer sun climbs too high\n" + boiler),
+    ]
+    docs = spark.createDataFrame(rows)
+    bench = docs.filter(F.col("doc_id") == 4).select("doc_id", "text")
+    out = corpus_pipeline(docs, bench, quality_threshold=0.3,
+                          minhash_threshold=0.9, ngram_n=5,
+                          max_covered_frac=0.8)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    # 2 lost to minhash (near-dup of 0), 3 to quality, 4 to decontam
+    assert set(got) == {0, 1, 5}
+    assert got[1].endswith("\n" + boiler)       # first keeps the span
+    assert boiler not in got[5]                 # later loses the span
+    assert got[5].count("\n") == 0
+
+
+def test_corpus_pipeline_empty_bench_and_no_dups(spark):
+    """Degenerate shapes: an empty benchmark set decontaminates
+    nothing, and a corpus with no duplicates/near-dups passes through
+    byte-identical (modulo nothing — text must be unchanged)."""
+    from dlp_plugins_spark.operators.pipeline import corpus_pipeline
+
+    rows = [
+        Row(doc_id=i, text=f"unique document number {i} talks about "
+            f"topic {i} in a calm and reasonably long way so that "
+            "the quality filter keeps it around for the later stages")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows)
+    bench = docs.filter(F.col("doc_id") < 0)    # empty
+    out = corpus_pipeline(docs, bench, quality_threshold=0.0,
+                          minhash_threshold=0.9, ngram_n=5)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    want = {r.doc_id: r.text for r in rows}
+    assert got == want
