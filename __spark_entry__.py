@@ -1255,36 +1255,54 @@ FROM events
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal feature extraction over a REAL codec path: payloads
-    are genuine 24-bit BMP containers (hand-rolled pure-Python encoder/
-    decoder from the public format spec, operators/multimodal.py) whose
-    decoded dimensions and container size are closed-form in media_id —
-    the oracle recomputes them from the BMP layout formula (54-byte
-    header + 4-byte-padded BGR rows), so a mis-parse is a driver red.
-    Pixel-level decode exactness (encode->decode round-trip) and the WAV
-    audio path are tests/test_pipeline_ops.py; the deterministic-fake
-    branch for compressed formats stays for plumbing tests."""
+    """Multimodal feature extraction over ALL THREE real image codec
+    paths (operators/multimodal.py): media_id % 3 cycles 24-bit BMP /
+    PNG RGB / PNG RGBA, every codec hand-rolled pure-Python from the
+    public format specs. PNG scanlines use filter_mode="cycle", so the
+    decode exercises all five unfilter predictors (None/Sub/Up/Average/
+    Paeth). Attested columns: decoded width/height/channels for every
+    row, the BMP container size from its closed-form layout (54-byte
+    header + 4-byte-padded BGR rows; PNG size is zlib-dependent, hence
+    NULLed on PNG rows in BOTH engines), and `pix_sum` — the sum of
+    every decoded byte, closed-form in media_id because the fixture
+    pixel is (x + 2y + 3c + id) % 256 — which makes a single flipped
+    bit anywhere in the chunk walk, inflate, or unfilter path a driver
+    red. Encode->decode round-trips are tests/test_pipeline_ops.py."""
     from dlp_plugins_spark.operators.multimodal import (
-        extract_features, synth_media_real_df,
+        extract_features, synth_media_mixed_df,
     )
 
-    media = synth_media_real_df(spark, n=256).filter(F.col("kind") == "image")
+    media = synth_media_mixed_df(spark, n=192)
     return extract_features(media, fake_decode=False).select(
-        "media_id", "n_bytes", "width", "height",
+        "media_id",
+        F.when(F.col("media_id") % 3 == 0, F.col("n_bytes"))
+         .alias("bmp_n_bytes"),
+        "width", "height", "channels", "pix_sum",
         F.col("sha256").rlike("^[0-9a-f]{64}$").alias("sha_ok"),
     )
 
 
 SQL_MEDIA_FEATURES = """
 WITH m AS (
-  SELECT media_id, 4 + media_id % 5 AS w, 3 + media_id % 4 AS h
-  FROM range(0, 256) t(media_id) WHERE media_id % 3 <> 0)
-SELECT media_id,
-       CAST(54 + h * (((3 * w + 3) // 4) * 4) AS INT) AS n_bytes,
-       CAST(w AS INT) AS width,
-       CAST(h AS INT) AS height,
+  SELECT media_id, 4 + media_id % 5 AS w, 3 + media_id % 4 AS h,
+         CASE WHEN media_id % 3 = 2 THEN 4 ELSE 3 END AS ch
+  FROM range(0, 192) t(media_id)),
+px AS (
+  SELECT m.media_id,
+         SUM((x + 2 * y + 3 * c + m.media_id) % 256) AS pix_sum
+  FROM m, range(0, 8) tx(x), range(0, 6) ty(y), range(0, 4) tc(c)
+  WHERE x < m.w AND y < m.h AND c < m.ch
+  GROUP BY m.media_id)
+SELECT m.media_id,
+       CASE WHEN m.media_id % 3 = 0
+            THEN CAST(54 + m.h * (((3 * m.w + 3) // 4) * 4) AS INT)
+       END AS bmp_n_bytes,
+       CAST(m.w AS INT) AS width,
+       CAST(m.h AS INT) AS height,
+       CAST(m.ch AS INT) AS channels,
+       CAST(px.pix_sum AS BIGINT) AS pix_sum,
        true AS sha_ok
-FROM m
+FROM m JOIN px USING (media_id)
 """
 
 

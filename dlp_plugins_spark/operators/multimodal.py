@@ -2,11 +2,14 @@
 with typed metadata, processed by Arrow-batched mapInPandas kernels.
 
 The Spark-side machinery (schemas, batch shapes, partition sizing, UDF
-signatures) is REAL and tested. Codecs: uncompressed containers decode
-FOR REAL with pure-Python/stdlib code — BMP 24-bit BI_RGB
-(`decode_bmp`/`encode_bmp`, hand-rolled from the public format spec) and
-WAV PCM16 (`decode_wav`/`encode_wav`, stdlib ``wave``). Compressed
-formats (PNG/JPEG/MP3/H.264) need native libraries this container does
+signatures) is REAL and tested. Codecs: three containers decode FOR
+REAL with pure-Python/stdlib code — BMP 24-bit BI_RGB
+(`decode_bmp`/`encode_bmp`, hand-rolled from the public format spec),
+PNG 8-bit RGB/RGBA non-interlaced (`decode_png`/`encode_png`: chunk
+walk + stdlib zlib inflate + all five scanline unfilter predictors per
+the public W3C PNG spec / RFC 2083), and WAV PCM16
+(`decode_wav`/`encode_wav`, stdlib ``wave``). Remaining compressed
+formats (JPEG/FLAC/MP3/H.264) need native libraries this container does
 not ship, so `decode_image` falls back to `NotImplementedError` for
 them unless `fake=True`, in which case a deterministic synthesizer
 stands in (so pipelines and tests exercise the full plumbing
@@ -46,6 +49,9 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("n_bytes", T.IntegerType(), True),
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("pix_sum", T.LongType(), True),   # sum of decoded bytes —
+    # pixel-exact attestation of the whole decode path (zlib + unfilter)
     T.StructField("embedding", T.ArrayType(T.FloatType()), True),
 ])
 
@@ -116,8 +122,47 @@ def synth_media_real_df(spark, n: int = 64) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=IMAGE_SCHEMA)
 
 
+def synth_media_mixed_df(spark, n: int = 192) -> DataFrame:
+    """Deterministic image table cycling through all three REAL image
+    codec paths by ``media_id % 3``: 0 -> 24-bit BMP, 1 -> PNG RGB
+    (filter_mode="cycle", so scanlines use ALL five PNG filter types),
+    2 -> PNG RGBA. Pixel (y, x, c) = (x + 2y + 3c + id) % 256 with
+    width 4 + id%5, height 3 + id%4 — every decoded byte is closed-form
+    in media_id, so a SQL oracle can recompute the per-image pixel sum
+    and attest the full decode path (chunk walk, zlib inflate, all five
+    unfilter predictors) bit-for-bit."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            mimes, payloads = [], []
+            for i in ids:
+                i = int(i)
+                w, h = 4 + i % 5, 3 + i % 4
+                ch = 4 if i % 3 == 2 else 3
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [(xx + 2 * yy + 3 * c + i) % 256 for c in range(ch)],
+                    axis=2,
+                ).astype(np.uint8)
+                if i % 3 == 0:
+                    mimes.append("image/bmp")
+                    payloads.append(encode_bmp(img))
+                else:
+                    mimes.append("image/png")
+                    payloads.append(encode_png(img, filter_mode="cycle"))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": ["image"] * len(ids),
+                "mime": mimes,
+                "payload": payloads,
+                "meta": [{"source": f"synth-{int(i) % 7}"} for i in ids],
+            })
+
+    return spark.range(n).mapInPandas(gen, schema=IMAGE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
-# real codecs — uncompressed containers, pure Python / stdlib only
+# real codecs — pure Python / stdlib only
 # ---------------------------------------------------------------------------
 
 def encode_bmp(arr: np.ndarray) -> bytes:
@@ -171,6 +216,149 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rgb if top_down else rgb[::-1]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray, filter_mode: str = "cycle") -> bytes:
+    """HxWx3 (RGB) or HxWx4 (RGBA) uint8 -> PNG bytes, pure stdlib
+    (zlib deflate + hand-rolled chunk layout per the public PNG spec,
+    RFC 2083 / W3C PNG). 8-bit, non-interlaced, color type 2 or 6.
+
+    ``filter_mode``: ``"none"`` writes filter byte 0 on every scanline
+    (fastest); ``"cycle"`` (default) applies filter type ``row % 5`` —
+    deliberately exercising ALL five filter predictors (None/Sub/Up/
+    Average/Paeth) so a round-trip through :func:`decode_png` proves
+    every unfilter path, not just the trivial one."""
+    import struct
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError("encode_png expects HxWx3 or HxWx4 uint8")
+    h, w, ch = arr.shape
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        line = arr[y].reshape(-1).astype(np.int16)
+        ft = 0 if filter_mode == "none" else y % 5
+        left = np.concatenate([np.zeros(ch, dtype=np.int16), line[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, dtype=np.int16), prev[:-ch]])
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = line - left
+        elif ft == 2:
+            enc = line - prev
+        elif ft == 3:
+            enc = line - (left + prev) // 2
+        else:                                   # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = line - pred
+        raw.append(ft)
+        raw += (enc % 256).astype(np.uint8).tobytes()
+        prev = line
+    return (_PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> HxWxC uint8 (C=3 for RGB, 4 for RGBA), pure
+    stdlib: chunk walk, zlib inflate, and per-scanline unfiltering of
+    all five predictors (None/Sub/Up/Average/Paeth). Supports 8-bit
+    color types 2 (truecolor) and 6 (truecolor+alpha), non-interlaced —
+    the overwhelming share of real-world PNGs; palette/16-bit/
+    interlaced variants are rejected loudly (wire libpng/Pillow for
+    those in a full deployment)."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color_type not in (2, 6):
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth}, "
+                    f"color_type={color_type}) — only 8-bit RGB/RGBA"
+                )
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            ch = 3 if color_type == 2 else 4
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride,
+            offset=y * (stride + 1) + 1).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 1:                           # Sub: cumsum per lane
+            rec = line.reshape(-1, ch).copy()
+            np.cumsum(rec, axis=0, out=rec)
+            rec = (rec % 256).reshape(-1)
+        elif ft == 2:                           # Up
+            rec = line + prev
+        elif ft == 3:                           # Average (sequential)
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = rec[i - ch] if i >= ch else 0
+                rec[i] = (line[i] + (left + prev[i]) // 2) % 256
+        elif ft == 4:                           # Paeth (sequential)
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        rec = rec % 256
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """Mono int16 PCM samples -> RIFF/WAVE bytes (stdlib ``wave``)."""
     import io
@@ -204,18 +392,23 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to HxWx3 uint8.
 
-    BMP payloads (magic ``BM``) decode FOR REAL via :func:`decode_bmp`.
-    Compressed formats need native codec libraries this container does
-    not ship — they raise `NotImplementedError` unless ``fake=True``,
-    which returns a deterministic 8x8 synthetic derived from the payload
-    hash (keeps shapes/types contract-true for plumbing tests)."""
+    BMP payloads (magic ``BM``) decode FOR REAL via :func:`decode_bmp`;
+    PNG payloads (8-byte signature) via :func:`decode_png` (RGBA comes
+    back HxWx4). Remaining compressed formats (JPEG/FLAC/...) need
+    native codec libraries this container does not ship — they raise
+    `NotImplementedError` unless ``fake=True``, which returns a
+    deterministic 8x8 synthetic derived from the payload hash (keeps
+    shapes/types contract-true for plumbing tests)."""
     if payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload is not None and payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     if not fake:
         raise NotImplementedError(
             "no native codec for this payload format in this environment; "
-            "BMP decodes for real — wire Pillow/libvips here for "
-            "PNG/JPEG in a full deployment, or pass fake=True"
+            "BMP and PNG (8-bit RGB/RGBA) decode for real — wire "
+            "Pillow/libvips here for JPEG in a full deployment, or pass "
+            "fake=True"
         )
     h = hashlib.sha256(payload or b"").digest()
     base = np.frombuffer((h * 6)[:192], dtype=np.uint8)
@@ -233,7 +426,8 @@ def extract_features(df: DataFrame, fake_decode: bool = True,
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
-                    rows.append((mid, None, None, None, None, None))
+                    rows.append((mid, None, None, None, None, None, None,
+                                 None))
                     continue
                 img = decode_image(payload, fake=fake_decode)
                 flat = img.reshape(-1).astype(np.float32)
@@ -242,7 +436,8 @@ def extract_features(df: DataFrame, fake_decode: bool = True,
                     mid,
                     hashlib.sha256(payload).hexdigest(),
                     len(payload),
-                    img.shape[1], img.shape[0],
+                    img.shape[1], img.shape[0], img.shape[2],
+                    int(img.sum(dtype=np.int64)),
                     emb.tolist(),
                 ))
             yield pd.DataFrame(

@@ -250,6 +250,73 @@ def test_bmp_roundtrip_exact():
             assert (MM.decode_image(payload) == img).all()
 
 
+def test_png_roundtrip_exact_all_filters():
+    """Real PNG codec: encode->decode must reproduce every pixel for
+    RGB and RGBA, with filter_mode="cycle" so scanlines traverse all
+    five filter predictors (None/Sub/Up/Average/Paeth)."""
+    import numpy as np
+
+    for w in (1, 3, 5, 8):
+        for h in (1, 5, 7):
+            for ch in (3, 4):
+                rng = (np.arange(h * w * ch, dtype=np.int64) * 41
+                       + 13 * w + h) % 256
+                img = rng.reshape(h, w, ch).astype(np.uint8)
+                for fm in ("none", "cycle"):
+                    payload = MM.encode_png(img, filter_mode=fm)
+                    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+                    back = MM.decode_png(payload)
+                    assert back.shape == (h, w, ch)
+                    assert (back == img).all()
+                    # decode_image dispatches on the PNG signature
+                    assert (MM.decode_image(payload) == img).all()
+
+
+def test_png_decode_rejects_unsupported():
+    """Palette/16-bit/interlaced/corrupt PNGs must raise, never
+    silently mis-decode."""
+    import struct
+    import numpy as np
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = bytearray(MM.encode_png(img))
+    # IHDR body starts at offset 8 (sig) + 8 (len+tag); depth byte at +8
+    ihdr_body = 16
+    for off, val in ((ihdr_body + 8, 16),   # bit depth 16
+                     (ihdr_body + 9, 3),    # palette color type
+                     (ihdr_body + 12, 1)):  # Adam7 interlace
+        bad = bytearray(good)
+        bad[off] = val
+        with pytest.raises(ValueError):
+            MM.decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        MM.decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)  # truncated
+    with pytest.raises(ValueError):
+        MM.decode_png(b"nope")
+
+
+def test_mixed_media_fixture_closed_form(spark):
+    """synth_media_mixed_df cycles BMP / PNG-RGB / PNG-RGBA; decoded
+    dims, channels, and the pixel-byte sum must equal the fixture's
+    closed form — the same invariant the driver oracle asserts."""
+    import numpy as np
+
+    media = MM.synth_media_mixed_df(spark, n=18)
+    feats = (MM.extract_features(media, fake_decode=False)
+             .toPandas().set_index("media_id"))
+    assert len(feats) == 18
+    for mid in feats.index:
+        i = int(mid)
+        w, h = 4 + i % 5, 3 + i % 4
+        ch = 4 if i % 3 == 2 else 3
+        expect = sum((x + 2 * y + 3 * c + i) % 256
+                     for y in range(h) for x in range(w) for c in range(ch))
+        assert feats.loc[mid, "width"] == w
+        assert feats.loc[mid, "height"] == h
+        assert feats.loc[mid, "channels"] == ch
+        assert feats.loc[mid, "pix_sum"] == expect
+
+
 def test_bmp_decode_rejects_unsupported():
     import struct
 
