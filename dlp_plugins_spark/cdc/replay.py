@@ -82,6 +82,10 @@ def replay(
     compact_deltas_per_bucket: int | None = None,
     stage_metrics: bool = False,
     merge_path: str = "bucket",
+    decontaminate_bench: DataFrame | None = None,
+    decontaminate_ngram: int = 13,
+    decontaminate_max_covered: float = 0.8,
+    decontaminate_text_col: str = "text",
 ) -> ReplayMetrics:
     """Replay binlog range [lo_lsn, hi_lsn) into ``table``.
 
@@ -96,7 +100,24 @@ def replay(
 
     ``stage_metrics``: attach accumulator-backed apply-stage counters
     (rows in / transformed / errored — the reference's dlp.requests.*
-    analogue) to each per-batch metrics entry."""
+    analogue) to each per-batch metrics entry.
+
+    ``decontaminate_bench``: ingest-time benchmark decontamination as a
+    first-class engine mode. When set (a DataFrame whose
+    ``decontaminate_text_col`` holds the benchmark/eval texts), every
+    batch's FRESH winner rows are checked — after the DLP transform
+    stage, inside the same merge job — against the benchmark's
+    normalized word ``decontaminate_ngram``-grams with the Llama-2
+    token-coverage rule (Touvron et al. 2023, A.6): a row whose
+    ``content`` coverage exceeds ``decontaminate_max_covered`` never
+    lands. Semantics are DELETE-equivalent so merge-on-write and
+    merge-on-read agree: MOW drops the winner (the key leaves the
+    table until a clean version arrives); MOR rewrites it to a
+    tombstone with ``content`` nulled, so contaminated bytes never
+    reach a delta file either. The benchmark n-gram set is collected
+    once per replay (bounded — eval sets are megabytes) and evaluated
+    as a pure JVM expression per row (operators/decontaminate.py
+    ``row_covered_frac``): zero extra shuffles or jobs per batch."""
     from dlp_plugins_spark.operators.redaction import StageCounters
 
     spec = transform_spec if transform_spec is not None else DEFAULT_TRANSFORM_SPEC
@@ -121,6 +142,17 @@ def replay(
                 f"transform spec targets merge key column(s) {sorted(bad)}; "
                 "key columns cannot be transformed during replay"
             )
+    decon_grams: list[str] | None = None
+    if decontaminate_bench is not None:
+        from dlp_plugins_spark.operators.decontaminate import benchmark_ngrams
+
+        # bounded driver collect: benchmark/eval sets are megabytes next
+        # to the corpus; the gram list ships inside the task binary
+        decon_grams = sorted(
+            r["gram"] for r in benchmark_ngrams(
+                decontaminate_bench, decontaminate_text_col,
+                decontaminate_ngram).collect()
+        )
     field_ops_cache: dict[tuple, list] = {}
     # ONE StageCounters for the whole replay (accumulators register in
     # the SparkContext for its lifetime — per-batch instances would leak
@@ -152,6 +184,9 @@ def replay(
         tf = (lambda df: apply_transforms(df, spec, counters=counters,
                                           mask_col="_fresh")) \
             if spec else None
+        if decon_grams is not None:
+            tf = _decon_transform(tf, decon_grams, decontaminate_ngram,
+                                  decontaminate_max_covered, mode)
         lineage_extra = None
         if plan is not None:
             payload_fields = tuple(
@@ -195,6 +230,45 @@ def replay(
     return metrics
 
 
+def _decon_transform(base_tf, grams: list[str], n: int, thr: float,
+                     mode: str):
+    """Compose the DLP apply stage with the ingest-time decontamination
+    stage (see the ``decontaminate_bench`` docs on ``replay``). Checks
+    FRESH rows only — stored rows passed the same deterministic check
+    when first written, the same argument that masks the DLP kernels.
+    MOW drops the contaminated winner (union already removed the
+    previous version, so the key leaves the table — delete semantics);
+    MOR turns it into a tombstone with content nulled so the bytes
+    never land in a delta file, and read-time LWW resolves the key
+    away. Both modes therefore produce the same final state."""
+    from dlp_plugins_spark.cdc.merge import DELETE, OP_COL
+    from dlp_plugins_spark.functions.text import normalize_text
+    from dlp_plugins_spark.operators.decontaminate import row_covered_frac
+
+    def stage(df: DataFrame) -> DataFrame:
+        if base_tf is not None:
+            df = base_tf(df)
+        # materialize the normalized word array once per row: the
+        # coverage expression's lambdas reference it element-wise
+        df = df.withColumn(
+            "_dw", F.split(normalize_text(F.col("content")), " "))
+        dirty = F.col("_fresh") & (
+            row_covered_frac("_dw", grams, n=n) > F.lit(float(thr)))
+        if mode == "mow":
+            return df.filter(~dirty).drop("_dw")
+        return (
+            df.withColumn(
+                "content",
+                F.when(dirty, F.lit(None).cast("string"))
+                .otherwise(F.col("content")))
+            .withColumn(OP_COL,
+                        F.when(dirty, F.lit(DELETE)).otherwise(F.col(OP_COL)))
+            .drop("_dw")
+        )
+
+    return stage
+
+
 def resume_lsn(table: LakeTable) -> int:
     """Where to restart after a crash: max applied LSN + 1 (manifest-derived)."""
     snap = table.current_snapshot()
@@ -213,10 +287,18 @@ def pandas_oracle_replay(
     gen_kwargs: dict | None = None,
     extra_col_from_lsn: int | None = None,
     batch_size: int = 100_000,
+    decontaminate_grams: set | None = None,
+    decontaminate_ngram: int = 13,
+    decontaminate_max_covered: float = 0.8,
 ) -> pd.DataFrame:
     """Reference replay: generate every event in pandas, apply the SAME
     compiled kernels, fold LSN-ascending into a dict keyed by (repo,path).
-    Returns the final table state (sorted by key)."""
+    Returns the final table state (sorted by key).
+
+    ``decontaminate_grams``: mirror of the engine's ingest-time
+    decontamination — an I/U event whose post-transform content exceeds
+    the coverage threshold folds as a DELETE (python-mirror kernels in
+    operators/decontaminate.py)."""
     spec = transform_spec if transform_spec is not None else DEFAULT_TRANSFORM_SPEC
     gk = dict(gen_kwargs or {})
     gk["batch_size"] = batch_size
@@ -236,9 +318,17 @@ def pandas_oracle_replay(
         pdf = compiled.apply_pandas(pdf)
     state: dict = {}
     cols = [c for c in pdf.columns if c not in ("op", "batch_id")]
+    if decontaminate_grams is not None:
+        from dlp_plugins_spark.operators.decontaminate import py_covered_frac
     for row in pdf.sort_values("lsn").itertuples(index=False):
         k = (row.repo, row.path)
-        if row.op == "D":
+        op = row.op
+        if (decontaminate_grams is not None and op != "D"
+                and py_covered_frac(row.content, decontaminate_grams,
+                                    decontaminate_ngram)
+                > decontaminate_max_covered):
+            op = "D"
+        if op == "D":
             state.pop(k, None)
         else:
             d = {c: getattr(row, c) for c in cols}

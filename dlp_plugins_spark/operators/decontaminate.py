@@ -233,6 +233,105 @@ def decontamination_report(docs: DataFrame, bench: DataFrame, n: int = 13,
     )
 
 
+def row_covered_frac(words, bench_grams: list[str], n: int = 13):
+    """Per-row Llama-2 token-coverage fraction of ``words`` (a BOUND
+    ``array<string>`` column attribute — materialize the normalize+split
+    once with ``withColumn`` first, or the lambda recomputes it per
+    element) against a driver-side benchmark n-gram list, as ONE JVM
+    expression: no join, no shuffle, no explode.
+
+    This is the ingest-time form used by the CDC replay's in-merge
+    decontamination stage (cdc/replay.py): the benchmark set is
+    collected once per replay and ships to executors inside the task
+    binary — bounded, because eval sets are megabytes next to a
+    terabyte corpus. Membership is ``array_contains`` over the literal
+    array (O(|bench|) per gram), which is the right trade below ~10^5
+    benchmark grams; past that, use the broadcast-join operators above
+    (``decontaminate``) as the corpus-level scale path.
+
+    Returns a DoubleType column in [0, 1]; NULL/short texts yield 0.0.
+    """
+    w = F.col(words) if isinstance(words, str) else words
+    grams = sorted(set(bench_grams))
+    bg = (F.array(*[F.lit(g) for g in grams]) if grams
+          else F.array().cast("array<string>"))
+    nw = F.size(w)
+    gp = F.when(
+        nw.isNull() | (nw < n),
+        F.array().cast("array<struct<pos:bigint,gram:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(nw - n, F.lit(0))),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.array_join(F.slice(w, i + 1, n), " ").alias("gram"),
+            ),
+        )
+    )
+    matched = F.array_sort(F.transform(
+        F.filter(gp, lambda g: F.array_contains(bg, g["gram"])),
+        lambda g: g["pos"],
+    ))
+    # union length of covered intervals [p, p+n): same monotone sweep as
+    # decontamination_report, per row instead of per group
+    covered = F.aggregate(
+        matched,
+        F.struct(F.lit(-1).cast("long").alias("end"),
+                 F.lit(0).cast("long").alias("tot")),
+        lambda acc, p: F.struct(
+            F.greatest(acc["end"], p + n).alias("end"),
+            (acc["tot"] + F.greatest(p + F.lit(n), acc["end"])
+             - F.greatest(p, acc["end"])).alias("tot"),
+        ),
+        lambda acc: acc["tot"],
+    )
+    return F.when(nw > 0, covered / nw).otherwise(F.lit(0.0))
+
+
+_NORM_WS = r"[ \t\n\x0b\f\r]"          # Java regex \s (normalize_text parity)
+
+
+def py_normalize_text(text: str) -> str:
+    """Python mirror of functions.text.normalize_text, for single-
+    threaded oracles: lowercase, non-[a-z0-9\\s] -> space, collapse
+    whitespace, trim. Whitespace class matches Java's ``\\s`` exactly."""
+    import re
+
+    out = re.sub(f"[^a-z0-9{_NORM_WS[1:-1]}]", " ", text.lower())
+    return re.sub(f"{_NORM_WS}+", " ", out).strip()
+
+
+def py_benchmark_ngrams(texts, n: int = 13) -> set:
+    """Python mirror of ``benchmark_ngrams`` (normalized word n-grams of
+    the benchmark set) for oracle-side construction."""
+    grams: set = set()
+    for t in texts:
+        if not isinstance(t, str):
+            continue
+        words = py_normalize_text(t).split(" ")
+        grams.update(
+            " ".join(words[i:i + n]) for i in range(len(words) - n + 1)
+        )
+    return grams
+
+
+def py_covered_frac(text, grams: set, n: int = 13) -> float:
+    """Python mirror of ``row_covered_frac`` for the pandas replay
+    oracle — same normalization, same interval-union sweep."""
+    if not isinstance(text, str):
+        return 0.0
+    words = py_normalize_text(text).split(" ")
+    if len(words) < n:
+        return 0.0
+    pos = [i for i in range(len(words) - n + 1)
+           if " ".join(words[i:i + n]) in grams]
+    end, tot = -1, 0
+    for p in pos:
+        tot += max(p + n, end) - max(p, end)
+        end = max(end, p + n)
+    return tot / len(words)
+
+
 def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 13,
                   max_covered_frac: float = 0.8,
                   text_col: str = "text", id_col: str = "doc_id",

@@ -708,6 +708,49 @@ def test_changes_since_incremental_read(spark, tmp_path):
     assert len(inc) > 0 and len(inc) < len(full)
 
 
+def test_decontaminate_in_replay(spark, tmp_path):
+    """Ingest-time benchmark decontamination as a replay mode
+    (decontaminate_bench): a planted benchmark member never lands in
+    the lake, merge-on-write and merge-on-read final states agree, and
+    both match the pandas oracle folding contaminated events as
+    deletes."""
+    from dlp_plugins_spark.operators.decontaminate import (
+        py_benchmark_ngrams,
+        py_normalize_text,
+    )
+
+    ng = 8
+    # plant the benchmark: the stored (post-DLP-transform) content of
+    # one replayed doc that has enough words to form 8-grams
+    t0 = _mktable(tmp_path, "plain")
+    replay(spark, t0, 0, N, batch_size=BATCH, gen_kwargs=GEN)
+    pdf0 = spark_state_pdf(spark, t0)
+    mask = [isinstance(c, str)
+            and len(py_normalize_text(c).split(" ")) >= ng
+            for c in pdf0["content"]]
+    cand = pdf0[mask].iloc[0]
+    bench_text = cand["content"]
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    grams = py_benchmark_ngrams([bench_text], ng)
+    oracle = state_hash(pandas_oracle_replay(
+        0, N, gen_kwargs=GEN, batch_size=BATCH,
+        decontaminate_grams=grams, decontaminate_ngram=ng))
+
+    t1 = _mktable(tmp_path, "decon_mow")
+    replay(spark, t1, 0, N, batch_size=BATCH, gen_kwargs=GEN,
+           decontaminate_bench=bench, decontaminate_ngram=ng)
+    got = spark_state_pdf(spark, t1)
+    keys = set(zip(got["repo"], got["path"]))
+    assert (cand["repo"], cand["path"]) not in keys  # planted doc dropped
+    assert 0 < len(got) < len(pdf0)
+    assert state_hash(got) == oracle
+
+    t2 = _mktable(tmp_path, "decon_mor")
+    replay(spark, t2, 0, N, batch_size=BATCH, gen_kwargs=GEN,
+           decontaminate_bench=bench, decontaminate_ngram=ng, mode="mor")
+    assert state_hash(spark_state_pdf(spark, t2)) == oracle
+
+
 def test_conflict_retry_both_writers_land(spark, tmp_path):
     """Two writers racing on different LSN windows: the loser's retry
     recomputes against the winner's snapshot and commits — final state

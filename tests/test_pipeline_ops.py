@@ -916,6 +916,48 @@ def test_decontaminate_removes_by_coverage_rule(spark, docs):
     assert kept0 == {i for i, r in rep.items() if r["covered_frac"] == 0.0}
 
 
+def test_row_covered_frac_matches_python_mirror(spark):
+    """The per-row JVM coverage expression (ingest-time decontamination
+    path) must agree bit-for-bit with its python oracle mirror across
+    NULL/empty/short/full-member/partial/normalization-tricky texts,
+    and with the corpus-level decontamination_report on shared texts."""
+    from dlp_plugins_spark.functions.text import normalize_text
+    from dlp_plugins_spark.operators import decontaminate as D
+
+    bench_texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs",
+    ]
+    grams = sorted(D.py_benchmark_ngrams(bench_texts, 4))
+    texts = [
+        None, "", "short text",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "prefix words here the quick brown fox jumps over the lazy dog "
+        "again and again plus a clean suffix tail",
+        "The QUICK, brown fox! jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs and more words beyond",
+        "totally unrelated content with many words that never collide",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    out = (df.withColumn("_w", F.split(normalize_text("text"), " "))
+             .withColumn("frac", D.row_covered_frac("_w", grams, n=4))
+             .select("doc_id", "frac").toPandas().set_index("doc_id"))
+    some_partial = False
+    for i, t in enumerate(texts):
+        expect = D.py_covered_frac(t, set(grams), 4)
+        assert out.loc[i, "frac"] == pytest.approx(expect, abs=1e-12), i
+        some_partial |= 0.0 < expect < 1.0
+    assert some_partial  # the fixture must exercise a mid-range fraction
+    # cross-check against the corpus-level report (rounded to 6 there)
+    bench = spark.createDataFrame([(t,) for t in bench_texts],
+                                  "text string")
+    rep = {r["doc_id"]: r["covered_frac"] for r in
+           D.decontamination_report(df, bench, n=4).collect()}
+    for i in rep:
+        assert rep[i] == pytest.approx(out.loc[i, "frac"], abs=1e-6)
+
+
 def test_coverage_sweep_matches_bruteforce_random(spark):
     """Seeded-random property test for the interval-sweep covered-span
     union: small n (5) over a tiny vocabulary maximizes overlapping
