@@ -634,6 +634,75 @@ def test_stream_debezium_replay_matches_batch(spark, tmp_path):
     assert sorted(r["value"] for r in errs.collect()) == sorted(bad_lines)
 
 
+def test_concurrent_stream_and_batch_writer_interleave(spark, tmp_path):
+    """A Debezium streaming tail and a batch ``merge_batch`` writer
+    landing interleaved commits on ONE merge-on-read table: the final
+    state must equal a serial batch replay of the full LSN range, and a
+    segment re-delivering the batch writer's window through the stream
+    must be filtered entirely by the applied-range manifest
+    (cross-writer exactly-once) — it commits no snapshot at all."""
+    from dlp_plugins_spark.cdc.merge import merge_batch
+    from dlp_plugins_spark.cdc.replay import DEFAULT_TRANSFORM_SPEC
+    from dlp_plugins_spark.operators.redaction import apply_transforms
+    from dlp_plugins_spark.sources.cdc_json import to_debezium_json
+    from dlp_plugins_spark.streaming.tail import stream_debezium_replay
+
+    json_dir = str(tmp_path / "mix_json")
+    os.makedirs(json_dir)
+    ckpt = str(tmp_path / "ckpt_mix")
+    err_dir = str(tmp_path / "mix_errors")
+
+    def seg(name, lo, hi):
+        ev = B.generate_binlog(spark, lo, hi, batch_size=1000, **GEN)
+        to_debezium_json(ev, B.TABLE_KEY).select("value") \
+            .coalesce(1).write.mode("overwrite") \
+            .text(os.path.join(json_dir, name))
+
+    def drain():
+        q = stream_debezium_replay(
+            spark, table, json_dir + "/*", ckpt, err_dir,
+            batch_lsn_size=1000, max_files_per_trigger=1,
+            mode="mor", conflict_retries=2)
+        q.awaitTermination(180)
+
+    table = LakeTable.create(str(tmp_path / "t_mix"), _payload(),
+                             B.TABLE_KEY, n_buckets=8)
+
+    # stream lands window [0, 1000)
+    seg("seg-0000", 0, 1000)
+    drain()
+
+    # batch writer lands window [1000, 2000) on the SAME table, using
+    # the multi-writer discipline (no batch ids, per-window ranges)
+    ev_b = B.generate_binlog(spark, 1000, 2000, batch_size=1000, **GEN)
+    tf = lambda df: apply_transforms(df, DEFAULT_TRANSFORM_SPEC)  # noqa: E731
+    stats = merge_batch(table, ev_b, batch_ids=[], transform=tf,
+                        mode="mor", conflict_retries=2, lsn_window=1000)
+    assert stats is not None and stats.batch_rows == 1000
+
+    # the stream re-delivers the batch writer's window: every row must
+    # be dropped by the applied-range filter BEFORE any write — the
+    # snapshot id must not move
+    snap_before = table.current_snapshot().snapshot_id
+    seg("seg-0001-redeliver", 1000, 2000)
+    drain()
+    assert table.current_snapshot().snapshot_id == snap_before
+
+    # stream continues with a genuinely new window
+    seg("seg-0002", 2000, 3000)
+    drain()
+
+    serial = LakeTable.create(str(tmp_path / "t_serial"), _payload(),
+                              B.TABLE_KEY, n_buckets=8)
+    replay(spark, serial, 0, 3000, batch_size=1000, gen_kwargs=GEN)
+    assert state_hash(spark_state_pdf(spark, table)) == \
+        state_hash(spark_state_pdf(spark, serial))
+    snap = table.current_snapshot()
+    assert snap.applied_batches == []
+    # adjacent per-window ranges coalesce in the manifest
+    assert sorted(map(list, snap.applied_ranges)) == [[0, 2999]]
+
+
 def test_debezium_error_port(spark):
     """Malformed JSON, unknown ops, missing lsn, and null row images go
     to the error port; none silently drop, none reach the event side."""
