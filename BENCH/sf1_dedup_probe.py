@@ -1,0 +1,147 @@
+"""Dedup-family scale probe: 1x vs 10x documents (round-5 ask #5).
+
+The minhash/winnow candidate DAGs carry `_materialize` barriers whose
+justification is "candidate sets are small and grow ~linearly with the
+corpus" (operators/dedup.py:121-143, 288-322). sf0.01/sf0.1 measured it;
+this probe evidences it one decade up: the sf0.1 documents table is
+replicated 10x with a per-copy deterministic word-suffix perturbation
+(`word -> wordx<k>`), which (a) keeps every copy's INTERNAL duplicate
+structure byte-for-byte isomorphic to the original — planted near-dup
+pairs stay near-dups inside each copy — and (b) makes cross-copy
+similarity ~0 at both the word-shingle and char-3-gram granularity, so
+the TRUE pair count scales exactly 10x. If the stop-fingerprint cap
+(max_df) and LSH banding hold, candidate volume must scale ~10x too —
+superlinear growth would mean boilerplate collisions escaping the caps.
+
+Run:  python BENCH/sf1_dedup_probe.py
+Appends nothing; prints one JSON line. Record results in
+BENCH/BASELINE.md next to the hw probe values printed alongside
+(host capability swings; see bench.py _hw_probe).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import _hw_probe  # noqa: E402
+from dlp_plugins_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("SPARK_GRAFT_PROBE_COPIES", "10"))
+
+
+def build_slice(spark, out_dir: str, copies: int) -> str:
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")) \
+        .select("doc_id", "text")
+    parts = []
+    for k in range(copies):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * 10_000_000))
+        if k:
+            # suffix every word with the copy id: within-copy similarity
+            # is preserved (both ends of a pair transform identically),
+            # cross-copy shingle/gram overlap drops to ~0
+            c = c.withColumn(
+                "text",
+                F.regexp_replace("text", r"([A-Za-z0-9]+)", f"$1x{k}"))
+        parts.append(c)
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    path = os.path.join(out_dir, f"docs_{copies}x.parquet")
+    big.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def probe(spark, docs, label: str) -> dict:
+    from dlp_plugins_spark.functions.text import winnow_fingerprints
+    from dlp_plugins_spark.operators.decontaminate import (
+        decontamination_report,
+    )
+    from dlp_plugins_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        minhash_lsh_candidates,
+        minhash_signature,
+        winnow_near_dup_pairs,
+    )
+
+    out: dict = {"label": label, "n_docs": docs.count()}
+
+    # --- minhash: candidates + verified, timed end-to-end ------------------
+    t0 = time.monotonic()
+    sig = minhash_signature(docs)
+    cands = minhash_lsh_candidates(sig)
+    n_cand = cands.count()
+    verified = exact_jaccard_pairs(docs, cands) \
+        .filter(F.col("jaccard") >= 0.8).count()
+    out["minhash"] = {"wall_sec": round(time.monotonic() - t0, 2),
+                      "candidates": n_cand, "verified": verified}
+
+    # --- winnow: candidate count via the same public stages, then the
+    # attested operator end-to-end ------------------------------------------
+    t0 = time.monotonic()
+    fps = winnow_fingerprints(docs.select("doc_id", "text"), "text",
+                              k=8, w=16, id_cols=["doc_id"], out="_fp")
+    rare = (fps.groupBy("_fp").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= 100).select("_fp"))
+    kept = fps.join(rare, "_fp", "left_semi")
+    a, b = kept.alias("wa"), kept.alias("wb")
+    n_cand_w = (
+        a.join(b, (F.col("wa._fp") == F.col("wb._fp"))
+               & (F.col("wa.doc_id") < F.col("wb.doc_id")))
+        .groupBy(F.col("wa.doc_id"), F.col("wb.doc_id"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2).count()
+    )
+    cand_wall = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    n_pairs_w = winnow_near_dup_pairs(docs).count()
+    out["winnow"] = {"cand_wall_sec": cand_wall,
+                     "pipeline_wall_sec": round(time.monotonic() - t0, 2),
+                     "candidates": n_cand_w, "verified": n_pairs_w}
+
+    # --- decontaminate: fixed 32-doc benchmark (real eval sets do not
+    # grow with the corpus) --------------------------------------------------
+    bench = docs.filter(F.col("doc_id") % 17 == 3) \
+        .filter(F.col("doc_id") < 600).select("text")
+    t0 = time.monotonic()
+    rep = decontamination_report(docs, bench, n=13)
+    n_contam = rep.filter(F.col("contaminated")).count()
+    out["decontaminate"] = {
+        "wall_sec": round(time.monotonic() - t0, 2),
+        "bench_docs": bench.count(), "contaminated": n_contam,
+    }
+    return out
+
+
+def main() -> None:
+    spark = get_spark("sf1_dedup_probe")
+    tdir = tempfile.mkdtemp(prefix="dedup_probe_")
+    try:
+        docs1 = spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")).select("doc_id", "text")
+        path10 = build_slice(spark, tdir, COPIES)
+        docs10 = spark.read.parquet(path10)
+        # interleave 1x / 10x back-to-back so host drift cannot masquerade
+        # as scaling behavior; report both passes
+        results = []
+        for rnd in range(2):
+            results.append(probe(spark, docs1, f"1x_pass{rnd}"))
+            results.append(probe(spark, docs10, f"{COPIES}x_pass{rnd}"))
+        print(json.dumps({"hw": _hw_probe(), "sf_dir": SF_DIR,
+                          "copies": COPIES, "runs": results}))
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
