@@ -11,7 +11,9 @@ Near-duplicate attestations are consolidated into multi-column queries
 so every oracle-backed operator gets a driver-green CORRECTNESS row;
 char_ngram_jaccard's standalone entry was retired in favor of
 corpus_pipeline (its kernel is replayed inside the winnow_near_dup_pairs
-oracle and keeps a local gate in test_entry_oracle.py).
+oracle and keeps a local gate in test_entry_oracle.py), and
+split_whole_record was folded into split_error_port (same counts, one
+query) to free the slot for exact_substring_dedup.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/aliases both sides; floats rounded identically).
 50 entries; this includes planted-fixture oracles (embedding/minhash
@@ -644,29 +646,6 @@ FROM documents GROUP BY lang
 """
 
 
-def q_split_whole_record(spark, sf_dir):
-    """Whole-record mode (field=None): record serialized as
-    comma-delimited text JVM-side, then inspected (ref
-    StructuredRecordStringConverter path)."""
-    docs = _pii_text(_read(spark, sf_dir, "documents"))
-    res = split_sensitive(docs, ["EMAIL_ADDRESS"], field=None)
-    return (
-        res.sensitive.agg(F.count("*").alias("n_sensitive"))
-        .crossJoin(res.non_sensitive.agg(F.count("*").alias("n_clean")))
-    )
-
-
-SQL_SPLIT_WHOLE_RECORD = f"""
-WITH d AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text, lang, source,
-                  n_chars FROM documents),
-rec AS (SELECT CAST(doc_id AS VARCHAR) || ',' || text || ',' || lang || ','
-               || source || ',' || CAST(n_chars AS VARCHAR) AS r FROM d)
-SELECT count(*) FILTER (WHERE regexp_matches(r, '{EMAIL_RE}')) AS n_sensitive,
-       count(*) FILTER (WHERE NOT regexp_matches(r, '{EMAIL_RE}')) AS n_clean
-FROM rec
-"""
-
-
 def q_parse_csv_orders(spark, sf_dir):
     """Wrangler-stage parity (ref example-redaction-pipeline.json:57 —
     parse-as-csv, rename, parse-as-simple-date): build a text body, parse
@@ -957,25 +936,42 @@ def q_split_error_port(spark, sf_dir):
     """On-error routing (ref SensitiveRecordFilter.java:351-358): docs
     whose payload exceeds the inspect limit go to the error port; the
     rest classify normally. max_bytes=450 makes all three ports
-    non-trivial on this corpus."""
+    non-trivial on this corpus. CONSOLIDATED: also attests whole-record
+    mode (field=None — record serialized as comma-delimited text
+    JVM-side, ref StructuredRecordStringConverter path) via the
+    n_whole_sensitive / n_whole_clean columns, freeing a driver slot
+    for exact_substring_dedup (former standalone split_whole_record)."""
     docs = _pii_text(_read(spark, sf_dir, "documents"))
     res = split_sensitive(docs, ["EMAIL_ADDRESS"], field="text",
                           on_error="error-port", max_bytes=450)
+    whole = split_sensitive(docs, ["EMAIL_ADDRESS"], field=None)
     return (
         res.sensitive.agg(F.count("*").alias("n_sensitive"))
         .crossJoin(res.non_sensitive.agg(F.count("*").alias("n_clean")))
         .crossJoin(res.errors.agg(F.count("*").alias("n_error")))
+        .crossJoin(whole.sensitive.agg(
+            F.count("*").alias("n_whole_sensitive")))
+        .crossJoin(whole.non_sensitive.agg(
+            F.count("*").alias("n_whole_clean")))
     )
 
 
 SQL_SPLIT_ERROR_PORT = f"""
-WITH d AS (SELECT text || {_PII_SUFFIX_SQL} AS t FROM documents)
-SELECT count(*) FILTER (WHERE octet_length(encode(t)) <= 450
-                        AND regexp_matches(t, '{EMAIL_RE}')) AS n_sensitive,
-       count(*) FILTER (WHERE octet_length(encode(t)) <= 450
-                        AND NOT regexp_matches(t, '{EMAIL_RE}')) AS n_clean,
-       count(*) FILTER (WHERE octet_length(encode(t)) > 450) AS n_error
-FROM d
+WITH d AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS t, lang, source,
+                  n_chars FROM documents),
+rec AS (SELECT CAST(doc_id AS VARCHAR) || ',' || t || ',' || lang || ','
+               || source || ',' || CAST(n_chars AS VARCHAR) AS r FROM d)
+SELECT
+  (SELECT count(*) FROM d WHERE octet_length(encode(t)) <= 450
+     AND regexp_matches(t, '{EMAIL_RE}')) AS n_sensitive,
+  (SELECT count(*) FROM d WHERE octet_length(encode(t)) <= 450
+     AND NOT regexp_matches(t, '{EMAIL_RE}')) AS n_clean,
+  (SELECT count(*) FROM d
+     WHERE octet_length(encode(t)) > 450) AS n_error,
+  (SELECT count(*) FROM rec
+     WHERE regexp_matches(r, '{EMAIL_RE}')) AS n_whole_sensitive,
+  (SELECT count(*) FROM rec
+     WHERE NOT regexp_matches(r, '{EMAIL_RE}')) AS n_whole_clean
 """
 
 
@@ -1735,6 +1731,72 @@ ORDER BY k.doc_id
 """
 
 
+def q_exact_substring_dedup(spark, sf_dir):
+    """ExactSubstr dedup (operators/dedup.py exact_substring_dedup; Lee
+    et al. 2022 §4.1), ORACLE-ATTESTED end-to-end: every doc under 160
+    gets a planted 8-token license tail so a corpus-wide duplicated
+    substring exists by construction, on top of whatever natural 8-token
+    window collisions the table carries. keep='first' protects the
+    globally first (id, start) occurrence of each duplicated window;
+    every other occurrence's token positions are cut and the survivors
+    reassemble in order. DuckDB replays the whole pipeline — sliding
+    8-token windows, count>1 dup dictionary, first-occurrence
+    protection, positional cut, reassembly — on exact window STRINGS
+    (stronger ground truth than the md5 fingerprints the Spark side
+    banks on) and compares kept counts AND sha256 of every reassembled
+    document."""
+    docs = _read(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 160).select(
+            "doc_id",
+            F.concat_ws(
+                " ", "text",
+                F.lit("common license tail shared across this corpus"
+                      " slice"),
+            ).alias("text"))
+    out = D.exact_substring_dedup(docs, window=8, keep="first")
+    return out.select(
+        "doc_id", "n_tokens", "n_kept",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    ).orderBy("doc_id")
+
+
+SQL_EXACT_SUBSTRING_DEDUP = r"""
+WITH src AS (
+  SELECT doc_id,
+         text || ' common license tail shared across this corpus slice'
+           AS t
+  FROM documents WHERE doc_id < 160),
+toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM src),
+occ AS (
+  SELECT doc_id, i - 1 AS s,
+         array_to_string(tk[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS wh
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 8 + 2)) AS i
+        FROM toks WHERE len(tk) >= 8)),
+marked AS (
+  SELECT doc_id, s,
+         count(*) OVER (PARTITION BY wh) AS cnt,
+         row_number() OVER (PARTITION BY wh ORDER BY doc_id, s) AS rn
+  FROM occ),
+hits AS (SELECT doc_id, s, rn FROM marked WHERE cnt > 1),
+cutraw AS (
+  SELECT DISTINCT doc_id, s + unnest(range(0, 8)) AS pos FROM hits),
+prot AS (
+  SELECT DISTINCT doc_id, s + unnest(range(0, 8)) AS pos FROM hits
+  WHERE rn = 1),
+cut AS (SELECT c.doc_id, c.pos FROM cutraw c
+        ANTI JOIN prot p ON c.doc_id = p.doc_id AND c.pos = p.pos),
+tokpos AS (
+  SELECT doc_id, len(tk) AS n, i - 1 AS pos, tk[CAST(i AS INT)] AS tok
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM toks)),
+kept AS (SELECT t.doc_id, t.n, t.pos, t.tok FROM tokpos t
+         ANTI JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       sha256(string_agg(tok, ' ' ORDER BY pos)) AS text_sha
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_ngram_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/decontaminate.py): GPT-3
     Appendix-C 13-gram collision test, ORACLE-ATTESTED. The benchmark
@@ -2123,7 +2185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top5_orders_per_status": q_top5_orders_per_status,
         # detection / metrics / record-mode (SURVEY.md §2.3, §2.5)
         "finding_counts_by_lang": q_finding_counts_by_lang,
-        "split_whole_record": q_split_whole_record,
+        # split_error_port also attests whole-record mode (former
+        # standalone split_whole_record — consolidated to free a driver
+        # slot for exact_substring_dedup; identical counts, same query)
         "split_error_port": q_split_error_port,
         "redact_custom_template": q_redact_custom_template,
         # pipeline-stage parity + relational depth
@@ -2170,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_quality": q_repetition_quality,
         "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
         "paragraph_dedup": q_paragraph_dedup,
+        "exact_substring_dedup": q_exact_substring_dedup,
         "ngram_decontaminate": q_ngram_decontaminate,
         "corpus_pipeline": q_corpus_pipeline,
         # genuinely non-SQL-expressible (rows-only; the driver runs at
@@ -2209,7 +2274,6 @@ def oracle_sql() -> dict[str, str]:
         "brute_force_topk": SQL_BRUTE_FORCE_TOPK,
         "top_similar_pairs": SQL_TOP_SIMILAR_PAIRS,
         "finding_counts_by_lang": SQL_FINDING_COUNTS,
-        "split_whole_record": SQL_SPLIT_WHOLE_RECORD,
         "split_error_port": SQL_SPLIT_ERROR_PORT,
         "redact_custom_template": SQL_REDACT_CUSTOM_TEMPLATE,
         "exact_dedup_keep": SQL_EXACT_DEDUP_KEEP,
@@ -2242,6 +2306,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_quality": SQL_REPETITION_QUALITY,
         "winnow_near_dup_pairs": SQL_WINNOW_NEAR_DUP_PAIRS,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+        "exact_substring_dedup": SQL_EXACT_SUBSTRING_DEDUP,
         "ngram_decontaminate": SQL_NGRAM_DECONTAMINATE,
         "corpus_pipeline": SQL_CORPUS_PIPELINE,
     }

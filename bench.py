@@ -34,7 +34,7 @@ BENCH_QUERIES = [
     "redact_emails",
     "mask_keep_digits_ws",
     "split_sensitive_by_lang",
-    "split_whole_record",
+    "split_error_port",
     "finding_counts_by_lang",
     "date_shift_events",
     "crypto_hash_langs",
@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "winnow_near_dup_pairs",
     "paragraph_dedup",
+    "exact_substring_dedup",
     "ngram_decontaminate",
     "corpus_pipeline",
     "repetition_quality",

@@ -653,3 +653,100 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     )
     return out.join(n_paras, on=id_col, how="inner") \
         .select(id_col, "n_paragraphs", "n_kept", text_col)
+
+
+def exact_substring_dedup(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", window: int = 8,
+                          sep: str = " ", keep: str = "first") -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", §4.1): any ``window``-token substring
+    that occurs more than once CORPUS-WIDE is duplicated text; cut the
+    duplicated token positions out of every document and reassemble.
+    The paper uses a parallel suffix array on one big machine; the
+    Spark-native equivalent marks duplication at sliding token-window
+    granularity — every duplicated substring of length >= ``window``
+    tokens is the union of duplicated windows, so the cut set is
+    IDENTICAL to the suffix-array method's at >=window-token
+    granularity (substrings shorter than ``window`` are below the
+    dedup threshold by definition, as in the paper's 50-token floor).
+
+    ``keep='first'`` protects the globally FIRST occurrence (lowest
+    ``(id, start)``) of each distinct duplicated window, so every
+    maximal duplicated region keeps exactly one copy — e.g. a document
+    of the same 8 tokens repeated twice keeps the first 8; a license
+    tail shared by 10k docs survives only in the lowest id.
+    ``keep='none'`` is the released deduplicate-text-datasets tool's
+    default: remove EVERY occurrence, guaranteeing no ``window``-token
+    span of the original corpus that was duplicated survives anywhere.
+
+    Documents shorter than ``window`` tokens contribute no windows and
+    pass through untouched; NULL-text documents drop out (no tokens);
+    documents whose every position is cut drop out entirely.
+
+    Returns (``id_col``, ``n_tokens``, ``n_kept``, ``text_col``).
+
+    100 TB shape: window hashes are built entirely JVM-side per
+    document (``transform`` over ``sequence`` + ``slice`` + ``md5`` —
+    no explode until the occurrence list, no Python). The only
+    corpus-wide shuffle is groupBy(window_md5) with map-side-combinable
+    (count, min-struct) partials, so a boilerplate window in 10% of all
+    docs contributes ONE row per upstream partition. The duplicated-
+    window dictionary (one row per distinct duplicated hash — a small
+    fraction of distinct windows in real corpora) is materialized once
+    and sits on the build side of the occurrence join; AQE broadcasts
+    it when small and skew-splits otherwise, and because the dictionary
+    has exactly one row per hash the hot-hash fanout is the fact side,
+    which stays distributed. Position cut/protect sets shuffle on the
+    near-unique (id, pos) composite — doc-sized groups, skew-free —
+    and reassembly is one groupBy(id). Nothing is O(corpus^2).
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), sep)
+                     .alias("_toks"))
+    n = F.size(F.col("_toks"))
+    whashes = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda s: F.md5(
+                F.concat_ws(sep, F.slice(F.col("_toks"), s + 1, window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = toks.select(F.col(id_col), F.posexplode(whashes)
+                      .alias("_s", "_wh"))
+    dup = _materialize(
+        occ.groupBy("_wh").agg(
+            F.count("*").alias("_cnt"),
+            F.min(F.struct(F.col(id_col).alias("i"),
+                           F.col("_s").alias("p"))).alias("_w"),
+        ).filter(F.col("_cnt") > 1).select(
+            F.col("_wh").alias("_dwh"),
+            F.col("_w.i").alias("_wi"), F.col("_w.p").alias("_wp"))
+    )
+    hits = occ.join(dup, occ["_wh"] == dup["_dwh"], "inner")
+    cut = hits.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("_s"), F.col("_s") + window - 1))
+        .alias("_pos"))
+    if keep == "first":
+        prot = dup.select(
+            F.col("_wi").alias(id_col),
+            F.explode(F.sequence(F.col("_wp"), F.col("_wp") + window - 1))
+            .alias("_pos"))
+        cut = cut.join(prot, on=[id_col, "_pos"], how="left_anti")
+    cut = cut.distinct()
+    tokpos = toks.select(
+        F.col(id_col), F.size("_toks").cast("long").alias("_n"),
+        F.posexplode("_toks").alias("_pos", "_tok"))
+    kept = tokpos.join(cut, on=[id_col, "_pos"], how="left_anti")
+    return kept.groupBy(id_col).agg(
+        F.max("_n").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ), sep,
+        ).alias(text_col),
+    ).select(id_col, "n_tokens", "n_kept", text_col)

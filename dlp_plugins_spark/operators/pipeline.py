@@ -43,6 +43,7 @@ from dlp_plugins_spark.functions.text import quality_score
 from dlp_plugins_spark.operators.decontaminate import decontaminate
 from dlp_plugins_spark.operators.dedup import (
     _materialize,
+    exact_substring_dedup,
     minhash_dedup,
     paragraph_dedup,
 )
@@ -55,7 +56,9 @@ def corpus_pipeline(docs: DataFrame, bench: DataFrame,
                     minhash_threshold: float = 0.9, num_perm: int = 64,
                     bands: int = 16, shingle_k: int = 5,
                     ngram_n: int = 13, max_covered_frac: float = 0.8,
-                    broadcast_bench: bool = True) -> DataFrame:
+                    broadcast_bench: bool = True,
+                    exact_substring_window: int | None = None,
+                    exact_substring_keep: str = "first") -> DataFrame:
     """Run the full corpus-preparation chain over ``docs``; returns the
     surviving documents as (``id_col``, ``text_col``) with paragraph-
     deduped text. ``bench`` is the benchmark/eval set to decontaminate
@@ -68,7 +71,15 @@ def corpus_pipeline(docs: DataFrame, bench: DataFrame,
     filtering first (cheapest, biggest volume cut), span-level dedup
     before document-level near-dup (boilerplate spans otherwise inflate
     pairwise similarity and mask true near-dups), decontamination last
-    (a doc surviving dedup may still quote a benchmark)."""
+    (a doc surviving dedup may still quote a benchmark).
+
+    ``exact_substring_window`` (default None = off, keeping the
+    oracle-attested four-stage chain byte-stable) inserts ExactSubstr
+    token-window dedup (Lee et al. 2022) between paragraph dedup and
+    minhash, the position RefinedWeb runs it: after cheap exact span
+    cuts, before the expensive pairwise family, so duplicated spans
+    shorter than a paragraph but >= window tokens are removed from
+    non-first documents (``exact_substring_keep``)."""
     q = _materialize(
         quality_score(docs, text_col)
         .filter(f"quality_score >= {float(quality_threshold)}")
@@ -79,6 +90,14 @@ def corpus_pipeline(docs: DataFrame, bench: DataFrame,
                         sep=paragraph_sep, min_len=min_paragraph_len)
         .select(id_col, text_col)
     )
+    if exact_substring_window is not None:
+        deduped_spans = _materialize(
+            exact_substring_dedup(deduped_spans, text_col=text_col,
+                                  id_col=id_col,
+                                  window=exact_substring_window,
+                                  keep=exact_substring_keep)
+            .select(id_col, text_col)
+        )
     near_deduped = _materialize(
         minhash_dedup(deduped_spans, text_col=text_col, id_col=id_col,
                       threshold=minhash_threshold, num_perm=num_perm,

@@ -799,6 +799,85 @@ def test_paragraph_dedup_matches_pandas_oracle(spark, docs):
     assert got == expect
 
 
+def test_exact_substring_dedup_known_values(spark):
+    """ExactSubstr (Lee et al. 2022) at window=3: cross-doc shared
+    substrings cut from every non-first occurrence; internal repeats cut
+    past the protected first window span; short docs pass through; NULL
+    and fully-cut docs drop; keep='none' removes every occurrence."""
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="a b c d e f"),
+        Row(doc_id=1, text="x y a b c d z"),   # shares 'a b c d' w/ doc0
+        Row(doc_id=2, text="p q r p q r p q"),  # internal period-3 repeat
+        Row(doc_id=3, text="short one"),        # < window tokens
+        Row(doc_id=4, text=None),
+        Row(doc_id=5, text="a b c"),            # fully duplicated vs doc0
+    ])
+    first = {r["doc_id"]: r for r in
+             D.exact_substring_dedup(df, window=3, keep="first").collect()}
+    assert set(first) == {0, 1, 2, 3}
+    # doc0 is the global first occurrence of every shared window: intact
+    assert (first[0]["n_tokens"], first[0]["n_kept"],
+            first[0]["text"]) == (6, 6, "a b c d e f")
+    # doc1 loses the shared 'a b c d' region (positions 2-5)
+    assert (first[1]["n_kept"], first[1]["text"]) == (3, "x y z")
+    # doc2: hit positions 0-7, protected first spans keep positions 0-4
+    assert (first[2]["n_kept"], first[2]["text"]) == (5, "p q r p q")
+    assert (first[3]["n_tokens"], first[3]["text"]) == (2, "short one")
+    none = {r["doc_id"]: r for r in
+            D.exact_substring_dedup(df, window=3, keep="none").collect()}
+    # keep='none': doc0 loses positions 0-3 too; docs 2 and 5 vanish
+    assert set(none) == {0, 1, 3}
+    assert (none[0]["n_kept"], none[0]["text"]) == (2, "e f")
+    assert (none[1]["text"], none[3]["text"]) == ("x y z", "short one")
+
+
+def test_exact_substring_dedup_matches_pandas_oracle(spark, docs):
+    """Randomized corpus (testdata docs + a planted shared tail) vs a
+    single-threaded pandas replay of the window-hash cut/protect rule,
+    both keep modes."""
+    src = docs.filter(F.col("doc_id") < 60).select(
+        "doc_id",
+        F.concat_ws(" ", "text",
+                    F.lit("common license tail shared by every doc here"))
+        .alias("text"),
+    )
+    w = 8
+    pdf = src.orderBy("doc_id").toPandas()
+    occ = {}           # window-text -> list[(doc_id, start)]
+    toks = {}
+    for r in pdf.itertuples(index=False):
+        tk = r.text.split(" ")
+        toks[r.doc_id] = tk
+        for s in range(len(tk) - w + 1):
+            occ.setdefault(" ".join(tk[s:s + w]), []).append((r.doc_id, s))
+    dup = {k: v for k, v in occ.items() if len(v) > 1}
+    for keep in ("first", "none"):
+        cut = {}       # doc_id -> set of positions
+        for hits in dup.values():
+            prot = min(hits) if keep == "first" else None
+            for (i, s) in hits:
+                if (i, s) == prot:
+                    continue
+                cut.setdefault(i, set()).update(range(s, s + w))
+        if keep == "first":
+            # protection is positional: first-occurrence spans survive
+            # even when another duplicated window also covers them
+            for hits in dup.values():
+                i, s = min(hits)
+                if i in cut:
+                    cut[i] -= set(range(s, s + w))
+        expect = {}
+        for i, tk in toks.items():
+            kept = [t for p, t in enumerate(tk)
+                    if p not in cut.get(i, set())]
+            if kept:
+                expect[i] = (len(tk), len(kept), " ".join(kept))
+        got = {r["doc_id"]: (r["n_tokens"], r["n_kept"], r["text"])
+               for r in D.exact_substring_dedup(src, window=w,
+                                                keep=keep).collect()}
+        assert got == expect, f"keep={keep}"
+
+
 def test_ngram_contamination_known_values(spark):
     from dlp_plugins_spark.operators.decontaminate import (
         ngram_contamination,
@@ -1072,3 +1151,31 @@ def test_corpus_pipeline_empty_bench_and_no_dups(spark):
     got = {r["doc_id"]: r["text"] for r in out.collect()}
     want = {r.doc_id: r.text for r in rows}
     assert got == want
+
+
+def test_corpus_pipeline_exact_substring_stage(spark):
+    """Optional ExactSubstr stage (exact_substring_window): a 6-token
+    run shared mid-document across two otherwise-different docs is cut
+    from the non-first doc when the stage is on, and byte-identical
+    when it is off (the attested four-stage default)."""
+    from dlp_plugins_spark.operators.pipeline import corpus_pipeline
+
+    shared = "alpha bravo charlie delta echo foxtrot"
+    rows = [
+        Row(doc_id=0, text="intro words appear right here " + shared
+            + " tail words number one"),
+        Row(doc_id=1, text="different opening sentence text " + shared
+            + " closing words number two"),
+    ]
+    docs = spark.createDataFrame(rows)
+    bench = docs.filter(F.col("doc_id") < 0)    # empty
+    kw = dict(quality_threshold=0.0, minhash_threshold=0.95, ngram_n=5)
+    off = {r["doc_id"]: r["text"] for r in
+           corpus_pipeline(docs, bench, **kw).collect()}
+    assert off == {r.doc_id: r.text for r in rows}
+    on = {r["doc_id"]: r["text"] for r in
+          corpus_pipeline(docs, bench, exact_substring_window=6,
+                          **kw).collect()}
+    assert on[0] == rows[0].text                 # first occurrence kept
+    assert shared not in on[1]
+    assert on[1] == "different opening sentence text closing words number two"
