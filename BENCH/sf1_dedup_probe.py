@@ -61,6 +61,71 @@ def build_slice(spark, out_dir: str, copies: int) -> str:
     return path
 
 
+def build_emb_slice(spark, out_dir: str, copies: int) -> str:
+    """10x embeddings: per-copy deterministic DIMENSION PERMUTATION.
+    A permutation is an orthogonal map, so within-copy pairwise cosines
+    are preserved EXACTLY (the copy's duplicate structure is isometric
+    to the original's) while cross-copy cosines decorrelate to ~0 —
+    true near-dup volume scales exactly with the copy count."""
+    import numpy as np
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")) \
+        .select("vec_id", "embedding")
+    parts = [emb]
+    for k in range(1, copies):
+        rng = np.random.Generator(np.random.Philox(k))
+        perm = rng.permutation(64).tolist()
+        parts.append(emb.select(
+            (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+            F.array(*[F.col("embedding")[int(i)] for i in perm])
+            .alias("embedding")))
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    path = os.path.join(out_dir, f"emb_{copies}x.parquet")
+    big.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def probe_semantic(spark, emb, k: int, label: str) -> dict:
+    """SemDeDup scale probe: k grows WITH the corpus (k ∝ N keeps
+    E[|cluster|] constant — the deployment rule SCALE.md §2 documents),
+    so the within-cluster candidate-pair volume Σ|c|·(|c|-1)/2 must
+    stay ~linear in N. 1% of rows re-enter as planted near-dups
+    (entry-query perturbation, cos ~0.9997) so removals scale 10x
+    by construction."""
+    from dlp_plugins_spark.operators.similarity import (
+        assign_nearest_centroid,
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    n = emb.count()
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+
+    def perturb(x):
+        v = x * F.lit(7919.0)
+        return x + F.lit(0.01) * (v - F.floor(v) - F.lit(0.5))
+
+    n_plant = max(10, n // 100)
+    planted = base.orderBy("vec_id").limit(n_plant).select(
+        (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+        F.transform("embedding", perturb).alias("embedding"))
+    allv = base.unionByName(planted)
+    cents_np = train_ivf_centroids(allv, dim=64, n_lists=k)
+    cents = [(i, [float(x) for x in c]) for i, c in enumerate(cents_np)]
+    t0 = time.monotonic()
+    survivors = semantic_dedup(allv, cents, threshold=0.95).count()
+    wall = round(time.monotonic() - t0, 2)
+    sizes = assign_nearest_centroid(allv, cents).groupBy("cluster_id") \
+        .count().toPandas()["count"]
+    return {"label": label, "n_vecs": n + n_plant, "k": k,
+            "cand_pairs": int((sizes * (sizes - 1) // 2).sum()),
+            "removed": n + n_plant - survivors, "planted": n_plant,
+            "wall_sec": wall}
+
+
 def probe(spark, docs, label: str) -> dict:
     from dlp_plugins_spark.functions.text import winnow_fingerprints
     from dlp_plugins_spark.operators.decontaminate import (
@@ -130,12 +195,20 @@ def main() -> None:
             os.path.join(SF_DIR, "documents.parquet")).select("doc_id", "text")
         path10 = build_slice(spark, tdir, COPIES)
         docs10 = spark.read.parquet(path10)
+        emb1 = spark.read.parquet(
+            os.path.join(SF_DIR, "embeddings.parquet"))
+        epath10 = build_emb_slice(spark, tdir, COPIES)
+        emb10 = spark.read.parquet(epath10)
         # interleave 1x / 10x back-to-back so host drift cannot masquerade
         # as scaling behavior; report both passes
         results = []
         for rnd in range(2):
             results.append(probe(spark, docs1, f"1x_pass{rnd}"))
             results.append(probe(spark, docs10, f"{COPIES}x_pass{rnd}"))
+            results.append(probe_semantic(spark, emb1, 64,
+                                          f"sem_1x_pass{rnd}"))
+            results.append(probe_semantic(spark, emb10, 64 * COPIES,
+                                          f"sem_{COPIES}x_pass{rnd}"))
         print(json.dumps({"hw": _hw_probe(), "sf_dir": SF_DIR,
                           "copies": COPIES, "runs": results}))
     finally:

@@ -11,9 +11,12 @@ Near-duplicate attestations are consolidated into multi-column queries
 so every oracle-backed operator gets a driver-green CORRECTNESS row;
 char_ngram_jaccard's standalone entry was retired in favor of
 corpus_pipeline (its kernel is replayed inside the winnow_near_dup_pairs
-oracle and keeps a local gate in test_entry_oracle.py), and
+oracle and keeps a local gate in test_entry_oracle.py),
 split_whole_record was folded into split_error_port (same counts, one
-query) to free the slot for exact_substring_dedup.
+query) to free the slot for exact_substring_dedup, and
+top_similar_pairs was retired in favor of semantic_dedup (its all-pairs
+cosine kernel is replayed inside the embedding_near_dup AND
+semantic_dedup oracles; local gate kept).
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/aliases both sides; floats rounded identically).
 50 entries; this includes planted-fixture oracles (embedding/minhash
@@ -593,6 +596,12 @@ WHERE rank <= 5
 
 
 def q_top_similar_pairs(spark, sf_dir):
+    """Retired from the driver's 50-query window in round 5 to make
+    room for semantic_dedup: its kernel (all-pairs exact cosine,
+    round-6) is replayed driver-side inside BOTH the
+    embedding_near_dup and semantic_dedup oracles. Keeps the identical
+    local gate in tests/test_entry_oracle.py::
+    test_top_similar_pairs_local_oracle."""
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("_v"))
     a, b = emb.alias("a"), emb.alias("b")
@@ -1086,6 +1095,78 @@ pairs AS (
               * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine
   FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
 SELECT a_id, b_id, cosine FROM pairs WHERE cosine >= 0.9 ORDER BY a_id, b_id
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup cluster-scoped semantic dedup (operators/similarity.py
+    semantic_dedup; Abbas et al. 2023, arXiv:2303.09540) — the fourth
+    near-dup family (embedding space), made ATTESTABLE with the same
+    planted-near-dup scheme as embedding_near_dup: the 10 lowest
+    vec_ids re-enter at id+1,000,000 with an IEEE-exact elementwise
+    perturbation (cosine ~0.9997 to their originals; the corpus's own
+    max pairwise cosine sits far below the 0.95 threshold). Centroids
+    are the 8 lowest vec_ids' vectors — deterministic seeding so DuckDB
+    can replay the assignment argmax exactly; the k-means||-trained
+    centroid path is exercised in tests/test_pipeline_ops.py. Expected:
+    each planted copy joins its original's cluster and is removed by
+    the keep-lowest-id rule; the oracle replays assignment + removal
+    bit-for-bit (round-6 cosines on both sides)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+
+    def perturb(x):
+        v = x * F.lit(7919.0)
+        return x + F.lit(0.01) * (v - F.floor(v) - F.lit(0.5))
+
+    planted = base.orderBy("vec_id").limit(10).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(F.col("embedding"), perturb).alias("embedding"),
+    )
+    allv = base.unionByName(planted)
+    cents = [(int(r["vec_id"]), list(r["embedding"]))
+             for r in base.orderBy("vec_id").limit(8).collect()]
+    return S.semantic_dedup(allv, cents, threshold=0.95).orderBy("vec_id")
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+seeds AS (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 10),
+planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(
+           v, x -> x + 0.01 * (x * 7919.0 - floor(x * 7919.0) - 0.5)) AS v
+  FROM seeds),
+allv AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM planted),
+cents AS (SELECT vec_id AS cid, v AS cv FROM base ORDER BY vec_id LIMIT 8),
+scored AS (
+  SELECT a.vec_id, c.cid,
+         round(list_sum(list_transform(list_zip(a.v, c.cv), p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6) AS cos
+  FROM allv a CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cid AS cluster_id, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM scored)
+  WHERE rn = 1),
+dominated AS (
+  SELECT DISTINCT x.vec_id
+  FROM assigned x JOIN assigned y
+    ON x.cluster_id = y.cluster_id AND y.vec_id < x.vec_id
+  JOIN allv xv ON xv.vec_id = x.vec_id
+  JOIN allv yv ON yv.vec_id = y.vec_id
+  WHERE round(list_sum(list_transform(list_zip(xv.v, yv.v),
+                                      p -> p[1] * p[2]))
+          / (sqrt(list_sum(list_transform(xv.v, x -> x * x)))
+             * sqrt(list_sum(list_transform(yv.v, x -> x * x)))), 6)
+        >= 0.95)
+SELECT a.vec_id, a.cluster_id FROM assigned a
+WHERE NOT EXISTS (SELECT 1 FROM dominated d WHERE d.vec_id = a.vec_id)
+ORDER BY vec_id
 """
 
 
@@ -2214,11 +2295,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_entry_oracle.py::test_char_ngram_jaccard_local_oracle.
         "exact_dedup_keep": q_exact_dedup_keep,
         "near_dup_components": q_near_dup_components,
+        # top_similar_pairs was retired from the driver window in round
+        # 5 to make room for semantic_dedup: its all-pairs exact-cosine
+        # kernel is replayed driver-side inside both embedding_near_dup
+        # and semantic_dedup oracles, and the standalone query keeps an
+        # identical local gate in tests/test_entry_oracle.py::
+        # test_top_similar_pairs_local_oracle.
         "brute_force_topk": q_brute_force_topk,
-        "top_similar_pairs": q_top_similar_pairs,
         # oracle-attested via planted fixtures / aggregate invariants /
         # persisted-binlog replication
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "lang_detect": q_lang_detect,
         "cdc_replay_state": q_cdc_replay_state,
@@ -2272,7 +2359,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_by_lang": SQL_TOKEN_STATS,
         "quality_by_source": SQL_QUALITY_BY_SOURCE,
         "brute_force_topk": SQL_BRUTE_FORCE_TOPK,
-        "top_similar_pairs": SQL_TOP_SIMILAR_PAIRS,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "finding_counts_by_lang": SQL_FINDING_COUNTS,
         "split_error_port": SQL_SPLIT_ERROR_PORT,
         "redact_custom_template": SQL_REDACT_CUSTOM_TEMPLATE,

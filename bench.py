@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "simhash_docs",
     "brute_force_topk",
     "embedding_near_dup",
+    "semantic_dedup",
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_topk_ivf_distributed",

@@ -58,7 +58,11 @@ def corpus_pipeline(docs: DataFrame, bench: DataFrame,
                     ngram_n: int = 13, max_covered_frac: float = 0.8,
                     broadcast_bench: bool = True,
                     exact_substring_window: int | None = None,
-                    exact_substring_keep: str = "first") -> DataFrame:
+                    exact_substring_keep: str = "first",
+                    semantic_embeddings: DataFrame | None = None,
+                    semantic_centroids: list | None = None,
+                    semantic_vec_col: str = "embedding",
+                    semantic_threshold: float = 0.95) -> DataFrame:
     """Run the full corpus-preparation chain over ``docs``; returns the
     surviving documents as (``id_col``, ``text_col``) with paragraph-
     deduped text. ``bench`` is the benchmark/eval set to decontaminate
@@ -79,7 +83,17 @@ def corpus_pipeline(docs: DataFrame, bench: DataFrame,
     minhash, the position RefinedWeb runs it: after cheap exact span
     cuts, before the expensive pairwise family, so duplicated spans
     shorter than a paragraph but >= window tokens are removed from
-    non-first documents (``exact_substring_keep``)."""
+    non-first documents (``exact_substring_keep``).
+
+    ``semantic_embeddings`` (default None = off, same byte-stability
+    contract) inserts SemDeDup cluster-scoped semantic dedup
+    (operators/similarity.py semantic_dedup) between minhash and
+    decontamination — the position the SemDeDup paper runs it: after
+    lexical families have removed literal duplicates, embedding-space
+    dedup catches paraphrases they cannot. Pass a ``(id_col,
+    semantic_vec_col)`` DataFrame plus ``semantic_centroids``; the
+    embedding side is semi-join-pruned to the documents still alive,
+    so later stages never pay for already-removed rows."""
     q = _materialize(
         quality_score(docs, text_col)
         .filter(f"quality_score >= {float(quality_threshold)}")
@@ -103,6 +117,16 @@ def corpus_pipeline(docs: DataFrame, bench: DataFrame,
                       threshold=minhash_threshold, num_perm=num_perm,
                       bands=bands, shingle_k=shingle_k)
     )
+    if semantic_embeddings is not None:
+        from dlp_plugins_spark.operators.similarity import semantic_dedup
+
+        emb = semantic_embeddings.select(id_col, semantic_vec_col).join(
+            near_deduped.select(id_col), id_col, "left_semi")
+        keep = semantic_dedup(emb, semantic_centroids, id_col=id_col,
+                              vec_col=semantic_vec_col,
+                              threshold=semantic_threshold)
+        near_deduped = _materialize(
+            near_deduped.join(keep.select(id_col), id_col, "left_semi"))
     return decontaminate(near_deduped, bench, n=ngram_n,
                          max_covered_frac=max_covered_frac,
                          text_col=text_col, id_col=id_col,

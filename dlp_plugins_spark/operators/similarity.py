@@ -12,6 +12,10 @@ Two paths:
   independent hash tables; exact cosine re-rank on candidates only.
   Probing cost drops from O(N) to O(N / 2^bits * n_tables) per query.
 
+Plus the embedding-space dedup family built on the same kernels:
+:func:`semantic_dedup` (SemDeDup, cluster-scoped cosine near-dedup via
+a shuffle-free nearest-centroid projection).
+
 Determinism: hyperplanes derive from a fixed seed; ties in top-k break
 by ascending neighbor id.
 """
@@ -434,3 +438,95 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Nearest-centroid assignment as a PURE PROJECTION — zero shuffle.
+
+    The centroid set is cluster metadata (k rows, k <= a few hundred),
+    so instead of a join it is embedded as a literal
+    ``array<struct<cid,v>>`` in the plan and each row computes its
+    argmax-cosine centroid with ``transform`` + ``array_max`` — one
+    JVM-side map over the scan, no exchange, no broadcast table. Ties
+    break to the LOWEST centroid id (struct max on (cos, -cid)).
+    Cosines are rounded to 6 decimals BEFORE the argmax so an external
+    oracle replaying the rule in another engine compares identical
+    keys.
+    """
+    cent = F.array(*[
+        F.struct(
+            F.lit(int(cid)).cast("long").alias("cid"),
+            F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
+        )
+        for cid, vec in centroids
+    ])
+    scored = F.transform(
+        cent,
+        lambda c: F.struct(
+            F.round(cosine_expr(F.col(vec_col), c["v"]), 6).alias("cos"),
+            (-c["cid"]).alias("neg_cid"),
+        ),
+    )
+    return df.withColumn(out_col, (-F.array_max(scored)["neg_cid"]).alias(out_col))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic deduplication (Abbas et
+    al. 2023, arXiv:2303.09540) — the fourth near-dup family next to
+    MinHash-LSH, winnowing, and SimHash: duplicates are found in
+    EMBEDDING space, so paraphrases with near-zero lexical overlap
+    still collapse.
+
+    Rule (deterministic, replayable bit-for-bit by an external SQL
+    oracle): each row is assigned to its nearest centroid
+    (:func:`assign_nearest_centroid`); a row is REMOVED iff some
+    same-cluster row with a smaller id has ``round(cosine, 6) >=
+    threshold`` with it. This is the greedy keep-lowest-id
+    representative — the same convention every other dedup family in
+    this engine uses (ref dlp-plugins has no dedup; semantics follow
+    the published algorithm).
+
+    Returns surviving ``(id_col, cluster_id)`` rows.
+
+    100 TB design: assignment is a shuffle-free projection (centroid
+    literals in the plan); the ONLY exchange is the within-cluster
+    self-join keyed on ``cluster_id``, so pairwise work drops from
+    O(n^2) to sum over clusters of |c|^2 — the clustering IS the
+    candidate pruning. Skew note: a degenerate centroid set (one giant
+    cluster) re-creates n^2; at scale feed k-means||-trained centroids
+    (:func:`train_ivf_centroids_distributed`) sized so E[|c|] keeps
+    |c|^2 per-partition work bounded, and AQE skew-join splits any
+    residual hot cluster.
+    """
+    assigned = assign_nearest_centroid(
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>")
+                  .alias("_v")),
+        centroids, vec_col="_v",
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_xid"), F.col("cluster_id"),
+        F.col("_v").alias("_xv"))
+    b = assigned.select(
+        F.col(id_col).alias("_yid"), F.col("cluster_id"),
+        F.col("_v").alias("_yv"))
+    dominated = (
+        a.join(b, on="cluster_id")
+        .filter(F.col("_yid") < F.col("_xid"))
+        .filter(F.round(cosine_expr(F.col("_xv"), F.col("_yv")), 6)
+                >= F.lit(threshold))
+        .select(F.col("_xid").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dominated, on=id_col, how="left_anti") \
+        .select(id_col, "cluster_id")

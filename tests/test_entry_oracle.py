@@ -97,6 +97,19 @@ def test_char_ngram_jaccard_local_oracle(spark):
     assert _value_hash(spark_pdf) == _value_hash(duck_pdf)
 
 
+def test_top_similar_pairs_local_oracle(spark):
+    """top_similar_pairs was retired from the driver's 50-query window
+    to make room for semantic_dedup (its all-pairs exact-cosine kernel
+    is replayed driver-side inside both the embedding_near_dup and
+    semantic_dedup oracles). The standalone query keeps the IDENTICAL
+    gate here so the operator never regresses locally."""
+    spark_pdf = E.q_top_similar_pairs(spark, SF_DIR).toPandas()
+    duck_pdf = _duck(E.SQL_TOP_SIMILAR_PAIRS)
+    assert len(spark_pdf) == len(duck_pdf)
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    assert _value_hash(spark_pdf) == _value_hash(duck_pdf)
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
 def test_rows_only_queries_run_and_are_deterministic(spark, name):
     q = E.queries()[name]

@@ -1179,3 +1179,119 @@ def test_corpus_pipeline_exact_substring_stage(spark):
     assert on[0] == rows[0].text                 # first occurrence kept
     assert shared not in on[1]
     assert on[1] == "different opening sentence text closing words number two"
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup, cluster-scoped embedding near-dedup)
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_known_values(spark):
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.01]),    # cluster 0, kept
+        Row(vec_id=2, embedding=[0.99, 0.03]),   # ~dup of 1, removed
+        Row(vec_id=3, embedding=[0.01, 1.0]),    # cluster 1, kept
+        Row(vec_id=4, embedding=[-1.0, 0.05]),   # cluster 1 (argmax), kept
+    ]
+    out = {r["vec_id"]: r["cluster_id"] for r in
+           S.semantic_dedup(spark.createDataFrame(rows), cents,
+                            threshold=0.95).collect()}
+    assert out == {1: 0, 3: 1, 4: 1}
+
+
+def test_semantic_dedup_assignment_tie_breaks_to_lowest_cid(spark):
+    """[1,1] has bit-identical cosine to both axis centroids; the
+    struct-max tiebreak must pick the LOWEST centroid id."""
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    df = spark.createDataFrame([Row(vec_id=7, embedding=[1.0, 1.0])])
+    got = S.assign_nearest_centroid(df, cents).collect()[0]["cluster_id"]
+    assert got == 0
+
+
+def test_semantic_dedup_with_kmeans_centroids(emb):
+    """The oracle entry uses deterministic seed centroids; the scale
+    path feeds k-means-trained ones. Plant an exact duplicate of the
+    lowest vec_id and assert the copy (higher id) is removed while the
+    original survives, under TRAINED centroids — and that the whole op
+    is deterministic across runs."""
+    base = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>")
+                      .alias("embedding"))
+    cents_np = S.train_ivf_centroids(base, dim=64, n_lists=8)
+    cents = [(i, [float(x) for x in c]) for i, c in enumerate(cents_np)]
+    copy = base.orderBy("vec_id").limit(1).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    allv = base.unionByName(copy)
+    out1 = S.semantic_dedup(allv, cents, threshold=0.95)
+    ids1 = {r["vec_id"] for r in out1.collect()}
+    lowest = base.agg(F.min("vec_id")).collect()[0][0]
+    assert lowest in ids1 and (lowest + 10_000) not in ids1
+    ids2 = {r["vec_id"] for r in
+            S.semantic_dedup(allv, cents, threshold=0.95).collect()}
+    assert ids1 == ids2
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_semantic_dedup_matches_numpy_reference(spark, seed):
+    """Randomized cross-check vs a literal numpy replay of the rule.
+    Integer-grid vectors keep every dot/norm exact in float64, so
+    Spark's aggregate-fold cosine and numpy's are bitwise identical and
+    the round-6 compare keys match exactly."""
+    rng = np.random.Generator(np.random.Philox(seed))
+    n = int(rng.integers(5, 12))
+    vecs = rng.integers(-5, 6, size=(n, 3)).astype(float)
+    vecs[np.all(vecs == 0, axis=1)] = [1.0, 0.0, 0.0]
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+             (2, [1.0, 1.0, 1.0])]
+    tau = 0.8
+
+    def cos(a, b):
+        a, b = np.asarray(a, float), np.asarray(b, float)
+        return round(float(
+            (a * b).sum()
+            / (np.sqrt((a * a).sum()) * np.sqrt((b * b).sum()))), 6)
+
+    assign = {
+        i: -max(((cos(vecs[i], c), -cid) for cid, c in cents))[1]
+        for i in range(n)
+    }
+    expected = {
+        i: assign[i] for i in range(n)
+        if not any(assign[j] == assign[i] and j < i
+                   and cos(vecs[i], vecs[j]) >= tau for j in range(n))
+    }
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]])
+         for i in range(n)])
+    got = {r["vec_id"]: r["cluster_id"] for r in
+           S.semantic_dedup(df, cents, threshold=tau).collect()}
+    assert got == expected, f"seed={seed}\nvecs={vecs.tolist()}"
+
+
+def test_corpus_pipeline_semantic_stage(spark):
+    """Optional SemDeDup stage: OFF keeps the attested 4-stage chain
+    byte-stable; ON drops the higher-id member of a planted
+    embedding-space paraphrase pair that every lexical stage passes."""
+    from dlp_plugins_spark.operators.pipeline import corpus_pipeline
+
+    rows = [
+        Row(doc_id=0, text="completely original document text alpha beta"),
+        Row(doc_id=1, text="a paraphrase with different words gamma delta"),
+        Row(doc_id=2, text="unrelated third document epsilon zeta eta"),
+    ]
+    docs = spark.createDataFrame(rows)
+    bench = docs.filter(F.col("doc_id") < 0)    # empty
+    emb = spark.createDataFrame([
+        Row(doc_id=0, embedding=[1.0, 0.0]),
+        Row(doc_id=1, embedding=[0.999, 0.02]),   # cos ~0.9998 with doc 0
+        Row(doc_id=2, embedding=[0.0, 1.0]),
+    ])
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    kw = dict(quality_threshold=0.0, minhash_threshold=0.95, ngram_n=5)
+    off = {r["doc_id"] for r in corpus_pipeline(docs, bench, **kw).collect()}
+    assert off == {0, 1, 2}                      # lexically all distinct
+    on = {r["doc_id"] for r in corpus_pipeline(
+        docs, bench, semantic_embeddings=emb, semantic_centroids=cents,
+        semantic_threshold=0.95, **kw).collect()}
+    assert on == {0, 2}                          # paraphrase removed
