@@ -1106,7 +1106,9 @@ def q_semantic_dedup(spark, sf_dir):
     vec_ids re-enter at id+1,000,000 with an IEEE-exact elementwise
     perturbation (cosine ~0.9997 to their originals; the corpus's own
     max pairwise cosine sits far below the 0.95 threshold). Centroids
-    are the 8 lowest vec_ids' vectors — deterministic seeding so DuckDB
+    are the 8 lowest vec_ids' vectors (k=8 keeps the centroid literal
+    array small — plan-compile cost grows with k*dim literals and
+    dominates at this corpus size before pair savings pay off) — deterministic seeding so DuckDB
     can replay the assignment argmax exactly; the k-means||-trained
     centroid path is exercised in tests/test_pipeline_ops.py. Expected:
     each planted copy joins its original's cluster and is removed by
@@ -1140,13 +1142,20 @@ planted AS (
          list_transform(
            v, x -> x + 0.01 * (x * 7919.0 - floor(x * 7919.0) - 0.5)) AS v
   FROM seeds),
-allv AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM planted),
-cents AS (SELECT vec_id AS cid, v AS cv FROM base ORDER BY vec_id LIMIT 8),
+allv0 AS (SELECT vec_id, v FROM base
+          UNION ALL SELECT vec_id, v FROM planted),
+-- L2-normalize ONCE (elementwise x / sqrt(sum x^2), sequential fold)
+-- exactly as the operator does, so every later score is a plain dot
+allv AS (
+  SELECT vec_id,
+         list_transform(
+           v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+  FROM allv0),
+cents AS (SELECT vec_id AS cid, v AS cv FROM allv ORDER BY vec_id LIMIT 8),
 scored AS (
   SELECT a.vec_id, c.cid,
-         round(list_sum(list_transform(list_zip(a.v, c.cv), p -> p[1] * p[2]))
-           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-              * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6) AS cos
+         round(list_sum(list_transform(list_zip(a.v, c.cv),
+                                       p -> p[1] * p[2])), 6) AS cos
   FROM allv a CROSS JOIN cents c),
 assigned AS (
   SELECT vec_id, cluster_id FROM (
@@ -1160,10 +1169,7 @@ dominated AS (
   JOIN allv xv ON xv.vec_id = x.vec_id
   JOIN allv yv ON yv.vec_id = y.vec_id
   WHERE round(list_sum(list_transform(list_zip(xv.v, yv.v),
-                                      p -> p[1] * p[2]))
-          / (sqrt(list_sum(list_transform(xv.v, x -> x * x)))
-             * sqrt(list_sum(list_transform(yv.v, x -> x * x)))), 6)
-        >= 0.95)
+                                      p -> p[1] * p[2])), 6) >= 0.95)
 SELECT a.vec_id, a.cluster_id FROM assigned a
 WHERE NOT EXISTS (SELECT 1 FROM dominated d WHERE d.vec_id = a.vec_id)
 ORDER BY vec_id

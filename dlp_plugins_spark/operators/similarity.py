@@ -445,6 +445,7 @@ def assign_nearest_centroid(
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     out_col: str = "cluster_id",
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment as a PURE PROJECTION — zero shuffle.
 
@@ -457,7 +458,21 @@ def assign_nearest_centroid(
     Cosines are rounded to 6 decimals BEFORE the argmax so an external
     oracle replaying the rule in another engine compares identical
     keys.
+
+    ``pre_normalized=True`` asserts both ``vec_col`` and the centroid
+    vectors are already L2-normalized, scoring with a plain dot product
+    (one fold instead of dot+2 norms+div per centroid — ~3x fewer
+    flops; higher-order-function expressions are interpreted, not
+    codegen'd, so the flop count is the wall).
     """
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    ids = [cid for cid, _ in centroids]
+    if len(set(ids)) != len(ids):
+        raise ValueError(f"duplicate centroid ids: {sorted(ids)}")
+    dims = {len(vec) for _, vec in centroids}
+    if len(dims) != 1:
+        raise ValueError(f"centroid dims differ: {sorted(dims)}")
     cent = F.array(*[
         F.struct(
             F.lit(int(cid)).cast("long").alias("cid"),
@@ -465,10 +480,12 @@ def assign_nearest_centroid(
         )
         for cid, vec in centroids
     ])
+    score = (_dot if pre_normalized
+             else lambda a, b: cosine_expr(a, b))
     scored = F.transform(
         cent,
         lambda c: F.struct(
-            F.round(cosine_expr(F.col(vec_col), c["v"]), 6).alias("cos"),
+            F.round(score(F.col(vec_col), c["v"]), 6).alias("cos"),
             (-c["cid"]).alias("neg_cid"),
         ),
     )
@@ -489,10 +506,13 @@ def semantic_dedup(
     still collapse.
 
     Rule (deterministic, replayable bit-for-bit by an external SQL
-    oracle): each row is assigned to its nearest centroid
-    (:func:`assign_nearest_centroid`); a row is REMOVED iff some
-    same-cluster row with a smaller id has ``round(cosine, 6) >=
-    threshold`` with it. This is the greedy keep-lowest-id
+    oracle): every vector is L2-normalized ONCE (elementwise ``x /
+    sqrt(sum x^2)``, sequential fold), each row is assigned to its
+    argmax-dot centroid (:func:`assign_nearest_centroid` with
+    ``pre_normalized=True``; centroids normalized identically,
+    driver-side), and a row is REMOVED iff some same-cluster row with
+    a smaller id has ``round(dot, 6) >= threshold`` with it (dot of
+    normalized vectors == cosine). This is the greedy keep-lowest-id
     representative — the same convention every other dedup family in
     this engine uses (ref dlp-plugins has no dedup; semantics follow
     the published algorithm).
@@ -503,27 +523,52 @@ def semantic_dedup(
     literals in the plan); the ONLY exchange is the within-cluster
     self-join keyed on ``cluster_id``, so pairwise work drops from
     O(n^2) to sum over clusters of |c|^2 — the clustering IS the
-    candidate pruning. Skew note: a degenerate centroid set (one giant
-    cluster) re-creates n^2; at scale feed k-means||-trained centroids
+    candidate pruning. Normalizing up front moves the norm work from
+    per-PAIR to per-ROW (~3x fewer interpreted-expression flops on the
+    dominant join), and the assigned frame is cut at a
+    build-index-then-query barrier (``_materialize``, same switch as
+    the other dedup families) because the self-join + anti-join
+    reference it three times. Skew note: a degenerate centroid set
+    (one giant cluster) re-creates n^2; at scale feed
+    k-means||-trained centroids
     (:func:`train_ivf_centroids_distributed`) sized so E[|c|] keeps
     |c|^2 per-partition work bounded, and AQE skew-join splits any
     residual hot cluster.
     """
-    assigned = assign_nearest_centroid(
-        df.select(F.col(id_col), F.col(vec_col).cast("array<double>")
-                  .alias("_v")),
-        centroids, vec_col="_v",
+    import math
+
+    from dlp_plugins_spark.operators.dedup import _materialize
+
+    norm_cents = []
+    for cid, vec in centroids:
+        n = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+        norm_cents.append((cid, [float(x) / n for x in vec]))
+    vecs = (
+        df.select(F.col(id_col),
+                  F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_nrm", _norm(F.col("_v")))
+        .withColumn("_v", F.transform("_v", lambda x: x / F.col("_nrm")))
+        .drop("_nrm")
     )
+    assigned = _materialize(assign_nearest_centroid(
+        vecs, norm_cents, vec_col="_v", pre_normalized=True))
+    # The pair join's cost is quadratic interpreted-expression COMPUTE
+    # on tiny BYTES (ids + vectors), so AQE's byte-based coalescing
+    # would squeeze it onto 1-2 tasks; a user-specified repartition is
+    # exempt from coalescing and keeps the |c|^2 work spread across the
+    # cluster. At real scale the exchange is required anyway — this
+    # just pins its width.
+    npart = df.sparkSession.sparkContext.defaultParallelism
     a = assigned.select(
         F.col(id_col).alias("_xid"), F.col("cluster_id"),
-        F.col("_v").alias("_xv"))
+        F.col("_v").alias("_xv")).repartition(npart, "cluster_id")
     b = assigned.select(
         F.col(id_col).alias("_yid"), F.col("cluster_id"),
         F.col("_v").alias("_yv"))
     dominated = (
         a.join(b, on="cluster_id")
         .filter(F.col("_yid") < F.col("_xid"))
-        .filter(F.round(cosine_expr(F.col("_xv"), F.col("_yv")), 6)
+        .filter(F.round(_dot(F.col("_xv"), F.col("_yv")), 6)
                 >= F.lit(threshold))
         .select(F.col("_xid").alias(id_col))
         .distinct()

@@ -1233,10 +1233,12 @@ def test_semantic_dedup_with_kmeans_centroids(emb):
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
 def test_semantic_dedup_matches_numpy_reference(spark, seed):
-    """Randomized cross-check vs a literal numpy replay of the rule.
-    Integer-grid vectors keep every dot/norm exact in float64, so
-    Spark's aggregate-fold cosine and numpy's are bitwise identical and
-    the round-6 compare keys match exactly."""
+    """Randomized cross-check vs a literal numpy replay of the rule
+    (normalize-once, then plain dots — the operator's exact
+    arithmetic). Integer-grid inputs at dim 3 keep every sum a
+    SEQUENTIAL fold in numpy too (pairwise summation starts above 8
+    elements), so the float64 results are bitwise identical and the
+    round-6 compare keys match exactly."""
     rng = np.random.Generator(np.random.Philox(seed))
     n = int(rng.integers(5, 12))
     vecs = rng.integers(-5, 6, size=(n, 3)).astype(float)
@@ -1245,20 +1247,24 @@ def test_semantic_dedup_matches_numpy_reference(spark, seed):
              (2, [1.0, 1.0, 1.0])]
     tau = 0.8
 
+    def normed(a):
+        a = np.asarray(a, float)
+        return a / np.sqrt((a * a).sum())
+
+    nvecs = {i: normed(vecs[i]) for i in range(n)}
+    ncents = [(cid, normed(c)) for cid, c in cents]
+
     def cos(a, b):
-        a, b = np.asarray(a, float), np.asarray(b, float)
-        return round(float(
-            (a * b).sum()
-            / (np.sqrt((a * a).sum()) * np.sqrt((b * b).sum()))), 6)
+        return round(float((a * b).sum()), 6)
 
     assign = {
-        i: -max(((cos(vecs[i], c), -cid) for cid, c in cents))[1]
+        i: -max(((cos(nvecs[i], c), -cid) for cid, c in ncents))[1]
         for i in range(n)
     }
     expected = {
         i: assign[i] for i in range(n)
         if not any(assign[j] == assign[i] and j < i
-                   and cos(vecs[i], vecs[j]) >= tau for j in range(n))
+                   and cos(nvecs[i], nvecs[j]) >= tau for j in range(n))
     }
 
     df = spark.createDataFrame(
@@ -1295,3 +1301,41 @@ def test_corpus_pipeline_semantic_stage(spark):
         docs, bench, semantic_embeddings=emb, semantic_centroids=cents,
         semantic_threshold=0.95, **kw).collect()}
     assert on == {0, 2}                          # paraphrase removed
+
+
+def test_semantic_dedup_rejects_bad_centroids(spark):
+    df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
+    with pytest.raises(ValueError, match="non-empty"):
+        S.semantic_dedup(df, [])
+    with pytest.raises(ValueError, match="duplicate centroid ids"):
+        S.semantic_dedup(df, [(0, [1.0, 0.0]), (0, [0.0, 1.0])])
+    with pytest.raises(ValueError, match="dims differ"):
+        S.semantic_dedup(df, [(0, [1.0, 0.0]), (1, [0.0, 1.0, 0.0])])
+
+
+def test_semantic_dedup_degenerate_single_cluster(spark):
+    """Worst-case skew: every vector lands in ONE cluster (the n^2
+    shape SCALE.md §2 warns about). Must stay correct: with all
+    vectors pairwise-similar above the threshold, only the lowest id
+    survives; with none similar, all survive."""
+    import math
+    cents = [(0, [1.0, 0.0]), (1, [-1.0, 0.0])]
+    # 40 vectors in a 5-degree fan around +x: all assign to centroid 0,
+    # adjacent cosines ~1, min pairwise cosine cos(5deg) ~0.996
+    fan = [Row(vec_id=i,
+               embedding=[math.cos(math.radians(i * 0.125)),
+                          math.sin(math.radians(i * 0.125))])
+           for i in range(40)]
+    out = S.semantic_dedup(spark.createDataFrame(fan), cents,
+                           threshold=0.99).collect()
+    assert {r["vec_id"] for r in out} == {0}
+    # spread the fan across the first quadrant: still ONE cluster, but
+    # the closest pair sits at cos(2.2deg) ~0.999263 < 0.9993 ->
+    # nothing removed
+    spread = [Row(vec_id=i,
+                  embedding=[math.cos(math.radians(i * 2.2)),
+                             math.sin(math.radians(i * 2.2))])
+              for i in range(40)]
+    out2 = S.semantic_dedup(spark.createDataFrame(spread), cents,
+                            threshold=0.9993).collect()
+    assert {r["vec_id"] for r in out2} == set(range(40))
