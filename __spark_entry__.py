@@ -13,10 +13,13 @@ char_ngram_jaccard's standalone entry was retired in favor of
 corpus_pipeline (its kernel is replayed inside the winnow_near_dup_pairs
 oracle and keeps a local gate in test_entry_oracle.py),
 split_whole_record was folded into split_error_port (same counts, one
-query) to free the slot for exact_substring_dedup, and
+query) to free the slot for exact_substring_dedup,
 top_similar_pairs was retired in favor of semantic_dedup (its all-pairs
 cosine kernel is replayed inside the embedding_near_dup AND
-semantic_dedup oracles; local gate kept).
+semantic_dedup oracles; local gate kept), and minhash_near_dup_pairs
+was retired in favor of incremental_dedup (which composes the same
+minhash/band/verify kernels with the persisted band index and MOR
+lake commits; local gate kept).
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/aliases both sides; floats rounded identically).
 50 entries; this includes planted-fixture oracles (embedding/minhash
@@ -1691,6 +1694,137 @@ FROM pairs WHERE j >= 0.9 ORDER BY a_id
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Ingest-time incremental dedup against a PERSISTED MinHash band
+    index (operators/incremental.py DedupCorpus), ORACLE-ATTESTED
+    end-to-end across three sequential ingest batches into a throwaway
+    lake: batch 0 bootstraps the corpus (within-batch dedup only),
+    batch 1 adds the fresh doc_id%3==0 slice plus 10 planted
+    near-copies of batch-0 SURVIVORS (caught via the index probe, not
+    a corpus re-scan), batch 2 adds 10 planted near-copies of batch-1
+    docs — attesting the core incremental property that batch 1's
+    commit UPDATED the index — plus 5 synthesized genuinely-fresh docs
+    that must survive. DuckDB replays the whole ledger with exhaustive
+    exact shingle-Jaccard per corpus state (at J >= 0.9 the 16x4
+    banding's per-pair miss probability is ~3.9e-8, so brute force is
+    ground truth — same regime as the retired minhash_near_dup_pairs
+    entry, whose kernels this query composes with cdc/lake.py +
+    cdc/merge.py MOR commits). Returns every surviving (doc_id,
+    ingest_batch, sha256(text)): a wrong drop, a wrong survivor, a
+    mis-attributed batch, or a corrupted byte in lake round-trip is a
+    driver red."""
+    from dlp_plugins_spark.operators.incremental import DedupCorpus
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 3 != 0)
+    planted1 = docs.filter(
+        (F.col("doc_id") % 3 != 0) & (F.col("doc_id") < 15)
+    ).select(
+        (F.col("doc_id") + F.lit(4_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzincrementaltoken")).alias("text"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 3 == 0).unionByName(planted1)
+    planted2 = docs.filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 30)
+    ).select(
+        (F.col("doc_id") + F.lit(5_000_000)).alias("doc_id"),
+        F.concat(F.col("text"),
+                 F.lit(" zzincrementaltokentwo")).alias("text"),
+    )
+    fresh2 = docs.filter(
+        (F.col("doc_id") % 3 == 1) & (F.col("doc_id") < 15)
+    ).select(
+        (F.col("doc_id") + F.lit(6_000_000)).alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit(f"fresh{j}q"), F.col("doc_id").cast("string"))
+            for j in range(6)
+        ]).alias("text"),
+    )
+    b2 = planted2.unionByName(fresh2)
+
+    tdir = tempfile.mkdtemp(prefix="entry_incdedup_")
+    dc = DedupCorpus.create(os.path.join(tdir, "dc"), n_buckets=8,
+                            threshold=0.9)
+    for i, b in enumerate([b0, b1, b2]):
+        dc.ingest(spark, b, batch_id=i, collect_stats=False)
+    return dc.corpus_df(spark).select(
+        "doc_id", "ingest_batch",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    ).orderBy("doc_id")
+
+
+_INC_SH = ("list_distinct(list_transform(range(1, greatest(len(w) - 3, 1)), "
+           "i -> array_to_string(w[i:i+4], ' ')))")
+_INC_J = ("len(list_distinct(a.s || b.s)) > 0 AND "
+          "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+          "/ len(list_distinct(a.s || b.s)) >= 0.9")
+
+SQL_INCREMENTAL_DEDUP = rf"""
+WITH norm AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+s0 AS (SELECT doc_id, text, {_INC_SH} AS s FROM norm WHERE doc_id % 3 <> 0),
+b1 AS (
+  SELECT doc_id, text, w FROM norm WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 4000000, text || ' zzincrementaltoken',
+         list_append(w, 'zzincrementaltoken')
+  FROM norm WHERE doc_id % 3 <> 0 AND doc_id < 15),
+s1 AS (SELECT doc_id, text, {_INC_SH} AS s FROM b1),
+b2 AS (
+  SELECT doc_id + 5000000 AS doc_id,
+         text || ' zzincrementaltokentwo' AS text,
+         list_append(w, 'zzincrementaltokentwo') AS w
+  FROM norm WHERE doc_id % 3 = 0 AND doc_id < 30
+  UNION ALL
+  SELECT doc_id + 6000000,
+         'fresh0q' || CAST(doc_id AS VARCHAR) || ' fresh1q' ||
+           CAST(doc_id AS VARCHAR) || ' fresh2q' ||
+           CAST(doc_id AS VARCHAR) || ' fresh3q' ||
+           CAST(doc_id AS VARCHAR) || ' fresh4q' ||
+           CAST(doc_id AS VARCHAR) || ' fresh5q' ||
+           CAST(doc_id AS VARCHAR),
+         ['fresh0q' || CAST(doc_id AS VARCHAR),
+          'fresh1q' || CAST(doc_id AS VARCHAR),
+          'fresh2q' || CAST(doc_id AS VARCHAR),
+          'fresh3q' || CAST(doc_id AS VARCHAR),
+          'fresh4q' || CAST(doc_id AS VARCHAR),
+          'fresh5q' || CAST(doc_id AS VARCHAR)]
+  FROM norm WHERE doc_id % 3 = 1 AND doc_id < 15),
+s2 AS (SELECT doc_id, text, {_INC_SH} AS s FROM b2),
+l0 AS (SELECT DISTINCT b.doc_id FROM s0 a JOIN s0 b
+       ON a.doc_id < b.doc_id WHERE {_INC_J}),
+c0 AS (SELECT doc_id, text, s FROM s0
+       WHERE doc_id NOT IN (SELECT doc_id FROM l0)),
+l1 AS (
+  SELECT DISTINCT b.doc_id FROM s1 a JOIN s1 b ON a.doc_id < b.doc_id
+  WHERE {_INC_J}
+  UNION
+  SELECT DISTINCT b.doc_id FROM c0 a JOIN s1 b ON true
+  WHERE {_INC_J}),
+c1a AS (SELECT doc_id, text, s FROM s1
+        WHERE doc_id NOT IN (SELECT doc_id FROM l1)),
+c1 AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1a),
+l2 AS (
+  SELECT DISTINCT b.doc_id FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+  WHERE {_INC_J}
+  UNION
+  SELECT DISTINCT b.doc_id FROM c1 a JOIN s2 b ON true
+  WHERE {_INC_J}),
+c2a AS (SELECT doc_id, text, s FROM s2
+        WHERE doc_id NOT IN (SELECT doc_id FROM l2)),
+outv AS (
+  SELECT doc_id, 0 AS ingest_batch, text FROM c0
+  UNION ALL SELECT doc_id, 1, text FROM c1a
+  UNION ALL SELECT doc_id, 2, text FROM c2a)
+SELECT doc_id, CAST(ingest_batch AS BIGINT) AS ingest_batch,
+       sha256(text) AS text_sha
+FROM outv ORDER BY doc_id
+"""
+
+
 def q_winnow_near_dup_pairs(spark, sf_dir):
     """Winnowing-fingerprint near-dup pairs (operators/dedup.py:
     winnow_near_dup_pairs), ORACLE-ATTESTED end-to-end: the 10 lowest
@@ -2312,7 +2446,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # persisted-binlog replication
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
-        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        # minhash_near_dup_pairs was retired from the driver window in
+        # round 5 in favor of incremental_dedup: the incremental query
+        # composes the SAME kernels (minhash_signature, band hashing,
+        # exact-Jaccard verify) with the persisted band index + MOR lake
+        # commits — strictly more surface under the same brute-force
+        # oracle regime; the standalone query keeps an identical local
+        # gate in tests/test_entry_oracle.py::
+        # test_minhash_near_dup_pairs_local_oracle.
+        "incremental_dedup": q_incremental_dedup,
         "lang_detect": q_lang_detect,
         "cdc_replay_state": q_cdc_replay_state,
         "cdc_schema_evolution": q_cdc_schema_evolution,
@@ -2393,7 +2535,7 @@ def oracle_sql() -> dict[str, str]:
         "date_shift_context": SQL_DATE_SHIFT_CONTEXT,
         "cdc_replay_state": SQL_CDC_REPLAY_STATE,
         "cdc_schema_evolution": SQL_CDC_SCHEMA_EVOLUTION,
-        "minhash_near_dup_pairs": SQL_MINHASH_NEAR_DUP,
+        "incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
         "cdc_debezium_parse": SQL_CDC_DEBEZIUM_PARSE,
         "repetition_quality": SQL_REPETITION_QUALITY,

@@ -61,7 +61,7 @@ BENCH_QUERIES = [
     "quality_by_source",
     "exact_dedup_keep",
     "near_dup_components",
-    "minhash_near_dup_pairs",
+    "incremental_dedup",
     "winnow_fingerprints",
     "winnow_near_dup_pairs",
     "paragraph_dedup",

@@ -127,10 +127,16 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     )
 
 
-def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
-                           num_perm: int = 64, bands: int = 16) -> DataFrame:
-    """Banded LSH: rows sharing any band hash become candidate pairs
-    (a_id < b_id). Input must carry `_minhash`."""
+def minhash_band_rows(df: DataFrame, id_col: str = "doc_id",
+                      num_perm: int = 64, bands: int = 16) -> DataFrame:
+    """Exploded band index rows ``(id, _band_idx: int, _band_hash:
+    long)`` — one row per (doc, band). The band hash is
+    ``xxhash64(band_idx, sig[band*rpb], ..., sig[band*rpb+rpb-1])``.
+    Input must carry ``_minhash``. This is the unit both the in-batch
+    LSH self-join (``minhash_lsh_candidates``) and the persisted
+    incremental band index (``operators/incremental.py``) are built
+    from — sharing it guarantees an index written by one and probed by
+    the other hashes identically."""
     rows_per_band = num_perm // bands
     band_cols = [
         F.xxhash64(
@@ -141,14 +147,22 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
         for bi in range(bands)
     ]
     ids = df.select(F.col(id_col), F.array(*band_cols).alias("_bands"))
+    return ids.select(
+        id_col, F.posexplode("_bands").alias("_band_idx", "_band_hash")
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                           num_perm: int = 64, bands: int = 16) -> DataFrame:
+    """Banded LSH: rows sharing any band hash become candidate pairs
+    (a_id < b_id). Input must carry `_minhash`."""
     # materialize the band index once: both sides of the self-join below
     # would otherwise re-evaluate the upstream signature pipeline (the
     # shingle explode + 64 min-aggregations) — the same
     # build-the-index-then-query shape as winnow_near_dup_pairs.
     # Band rows are (id, int, long) — a sliver of corpus bytes.
-    exploded = ids.select(
-        id_col, F.posexplode("_bands").alias("_band_idx", "_band_hash")
-    ).transform(_materialize)
+    exploded = minhash_band_rows(df, id_col, num_perm, bands) \
+        .transform(_materialize)
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (

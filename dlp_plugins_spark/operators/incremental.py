@@ -1,0 +1,275 @@
+"""Ingest-time incremental near-duplicate dedup against persisted state.
+
+The batch operators in ``operators/dedup.py`` answer "dedup THIS
+corpus"; a 100 TB lake needs the other question: "dedup this BATCH
+against everything already ingested" — re-running corpus-wide MinHash
+on every delivery turns a 10^10-doc lake into a daily full-table job.
+The production shape (this module) maintains a **persisted MinHash
+band index** next to the corpus and prices each ingest by the batch,
+not the corpus:
+
+- ``corpus``   lake table ``(doc_id, text, ingest_batch)`` keyed on
+  ``doc_id`` — the surviving documents.
+- ``band_index`` lake table ``(band_idx, band_hash, doc_id)`` keyed on
+  all three columns — one row per (surviving doc, band), hashed by
+  ``operators/dedup.py:minhash_band_rows`` (sharing the kernel with
+  the in-batch LSH join guarantees an index written here probes
+  identically there).
+
+Per-batch cost anatomy (the 100 TB argument):
+  1. signatures for the BATCH only — O(batch), the corpus is never
+     re-shingled;
+  2. within-batch candidates: LSH self-join of the batch's band rows —
+     O(batch x bands);
+  3. vs-corpus candidates: the batch's band keys are **broadcast** into
+     a join against the index scan, so the index side is streamed with
+     NO shuffle — O(index) IO, zero index shuffle. (On a real
+     deployment the index's bucket layout + parquet row-group min/max
+     stats prune that scan further; a bloom pushdown is the next rung.
+     What must never happen is a shuffle of the index per batch, and
+     the broadcast shape rules it out by construction.)
+  4. exact shingle-Jaccard verify over candidates only, with old-doc
+     texts semi-joined out of the corpus — O(collisions), and the
+     corpus read is bucket-prunable because candidates name their
+     doc_ids;
+  5. survivors + their band rows appended via the **merge-on-read**
+     lake path (``cdc/merge.py merge_batch(mode='mor')``): append cost
+     independent of table size, exactly-once via recorded batch ids,
+     lineage per commit, ``compact()`` folds deltas on schedule.
+
+Drop rule (mirrors the one-pass min-id convention of
+``minhash_dedup``): a new doc is dropped iff it verifies >= threshold
+against ANY already-ingested doc, or it is the larger id of a verified
+within-batch pair. Docs with fewer than ``shingle_k`` words have no
+shingles, can never match, and always survive.
+
+Crash recovery / exactly-once: the corpus commit records the batch id;
+re-ingesting an applied batch recomputes nothing against the (now
+batch-inclusive) corpus — it recovers the survivor set from
+``ingest_batch == batch_id`` rows and re-issues only the idempotent
+index merge. Without that guard a replayed batch would see its own
+survivors in the corpus, match them at J=1.0, drop everything, and
+leave the index permanently missing the batch's bands.
+
+Reference scope: the reference engine (data-integrations/dlp-plugins)
+has no dedup path — this family is brief-scope (training-data
+pipeline), composing the CDC lake layer (``cdc/lake.py``,
+``cdc/merge.py``) with the MinHash kernels (``operators/dedup.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from dlp_plugins_spark.cdc.lake import LakeTable
+from dlp_plugins_spark.cdc.merge import merge_batch
+from dlp_plugins_spark.operators.dedup import (
+    _materialize,
+    exact_jaccard_pairs,
+    minhash_band_rows,
+    minhash_signature,
+)
+
+PARAMS_FILE = "dedup_params.json"
+
+CORPUS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("ingest_batch", T.LongType()),
+])
+
+INDEX_SCHEMA = T.StructType([
+    T.StructField("band_idx", T.IntegerType()),
+    T.StructField("band_hash", T.LongType()),
+    T.StructField("doc_id", T.LongType()),
+])
+
+
+@dataclass
+class IngestStats:
+    """Bounded driver-side metadata per ingest (counts only — never row
+    data); the per-commit lineage records live with each lake table."""
+    batch_id: int
+    n_in: int
+    n_dropped_vs_corpus: int
+    n_dropped_within: int
+    n_appended: int
+    recovered: bool = False
+
+
+class DedupCorpus:
+    """A dedup-maintaining document corpus: two lake tables (documents
+    + MinHash band index) advanced together, one ingest batch at a
+    time. See the module docstring for semantics and the 100 TB cost
+    shape."""
+
+    def __init__(self, path: str, corpus: LakeTable, index: LakeTable,
+                 params: dict):
+        self.path = path
+        self.corpus = corpus
+        self.index = index
+        self.num_perm = int(params["num_perm"])
+        self.bands = int(params["bands"])
+        self.shingle_k = int(params["shingle_k"])
+        self.seed = int(params["seed"])
+        self.threshold = float(params["threshold"])
+
+    # -- lifecycle ------------------------------------------------------------
+
+    @classmethod
+    def create(cls, path: str, *, n_buckets: int = 16, num_perm: int = 64,
+               bands: int = 16, shingle_k: int = 5, seed: int = 42,
+               threshold: float = 0.8) -> "DedupCorpus":
+        if num_perm % bands:
+            raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+        params = {"num_perm": num_perm, "bands": bands,
+                  "shingle_k": shingle_k, "seed": seed,
+                  "threshold": threshold}
+        corpus = LakeTable.create(os.path.join(path, "corpus"),
+                                  CORPUS_SCHEMA, ["doc_id"], n_buckets)
+        index = LakeTable.create(os.path.join(path, "band_index"),
+                                 INDEX_SCHEMA,
+                                 ["band_idx", "band_hash", "doc_id"],
+                                 n_buckets)
+        with open(os.path.join(path, PARAMS_FILE), "w") as fh:
+            json.dump(params, fh)
+        return cls(path, corpus, index, params)
+
+    @classmethod
+    def load(cls, path: str) -> "DedupCorpus":
+        with open(os.path.join(path, PARAMS_FILE)) as fh:
+            params = json.load(fh)
+        return cls(path, LakeTable.load(os.path.join(path, "corpus")),
+                   LakeTable.load(os.path.join(path, "band_index")), params)
+
+    # -- reads ----------------------------------------------------------------
+
+    def corpus_df(self, spark: SparkSession) -> DataFrame:
+        return self.corpus.read(spark).select("doc_id", "text",
+                                              "ingest_batch")
+
+    def index_df(self, spark: SparkSession) -> DataFrame:
+        return self.index.read(spark).select("band_idx", "band_hash",
+                                             "doc_id")
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold merge-on-read deltas into base files on both tables —
+        run on the same schedule a real deployment compacts any MOR
+        table (read cost grows with delta count, not corpus size)."""
+        self.corpus.compact(spark)
+        self.index.compact(spark)
+
+    # -- ingest ---------------------------------------------------------------
+
+    def _band_rows(self, docs: DataFrame) -> DataFrame:
+        sig = minhash_signature(docs, "text", "doc_id", self.num_perm,
+                                self.shingle_k, self.seed)
+        return minhash_band_rows(sig, "doc_id", self.num_perm, self.bands)
+
+    def _append(self, survivors: DataFrame, batch_id: int,
+                bands_surv: DataFrame) -> None:
+        lsn = F.lit(batch_id).cast("long")
+        corpus_batch = survivors.select(
+            "doc_id", "text", lsn.alias("ingest_batch"),
+            F.lit("I").alias("op"), lsn.alias("lsn"))
+        merge_batch(self.corpus, corpus_batch, [batch_id], mode="mor")
+        index_batch = bands_surv.select(
+            F.col("_band_idx").alias("band_idx"),
+            F.col("_band_hash").alias("band_hash"), "doc_id",
+            F.lit("I").alias("op"), lsn.alias("lsn"))
+        merge_batch(self.index, index_batch, [batch_id], mode="mor")
+
+    def ingest(self, spark: SparkSession, new_docs: DataFrame,
+               batch_id: int, collect_stats: bool = True) -> IngestStats:
+        """Dedup ``new_docs`` (``doc_id``, ``text``; ids unique and
+        disjoint from prior batches — the CDC layer upstream owns id
+        assignment) against the corpus and itself, then append the
+        survivors and their band rows. Returns bounded count stats;
+        ``collect_stats=False`` skips the three count jobs (stats come
+        back -1) — the commit lineage still records written row counts,
+        so pipelines that only need the state can save the scans."""
+        new_docs = new_docs.select("doc_id", "text")
+
+        if self.corpus.is_batch_applied(batch_id):
+            # replayed batch: the corpus already holds its survivors —
+            # recover them (recomputing against the current corpus would
+            # self-match at J=1.0 and wrongly drop everything) and
+            # re-issue the idempotent index merge for the crash window
+            # between the two commits.
+            survivors = self.corpus.read(spark) \
+                .filter(F.col("ingest_batch") == batch_id) \
+                .select("doc_id", "text").transform(_materialize)
+            self._append(survivors, batch_id, self._band_rows(survivors))
+            n_surv = survivors.count()
+            return IngestStats(batch_id, n_surv, 0, 0, n_surv,
+                               recovered=True)
+
+        bands_new = self._band_rows(new_docs).transform(_materialize)
+
+        # within-batch candidates: LSH self-join, O(batch x bands)
+        left, right = bands_new.alias("l"), bands_new.alias("r")
+        cand_within = (
+            left.join(
+                right,
+                (F.col("l._band_idx") == F.col("r._band_idx"))
+                & (F.col("l._band_hash") == F.col("r._band_hash"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(F.col("l.doc_id").alias("a_id"),
+                    F.col("r.doc_id").alias("b_id"))
+            .distinct()
+        )
+
+        # vs-corpus candidates: broadcast the batch's band rows into the
+        # index scan — the (large) index side streams through the hash
+        # join with no shuffle; a_id = already-ingested doc, b_id = new.
+        probe = bands_new.select(
+            F.col("_band_idx").alias("band_idx"),
+            F.col("_band_hash").alias("band_hash"),
+            F.col("doc_id").alias("b_id"))
+        cand_corpus = (
+            self.index_df(spark)
+            .join(F.broadcast(probe), on=["band_idx", "band_hash"])
+            .select(F.col("doc_id").alias("a_id"), "b_id")
+            .distinct()
+        )
+
+        # verify with exact shingle Jaccard over candidates only; old
+        # texts are semi-joined out of the corpus (size ~ collisions)
+        cands = cand_within.unionByName(cand_corpus).transform(_materialize)
+        old_ids = cands.select(F.col("a_id").alias("doc_id")) \
+            .subtract(new_docs.select("doc_id"))
+        old_texts = self.corpus.read(spark) \
+            .join(old_ids, on="doc_id", how="left_semi") \
+            .select("doc_id", "text")
+        texts = new_docs.unionByName(old_texts)
+        verified = exact_jaccard_pairs(texts, cands, "text", "doc_id",
+                                       self.shingle_k) \
+            .filter(F.col("jaccard") >= self.threshold)
+
+        # one drop rule both ways: b_id is always the new/larger doc
+        losers = verified.select(F.col("b_id").alias("doc_id")) \
+            .distinct().transform(_materialize)
+        survivors = new_docs.join(losers, on="doc_id", how="left_anti") \
+            .transform(_materialize)
+        bands_surv = bands_new.join(survivors.select("doc_id"),
+                                    on="doc_id", how="left_semi")
+        self._append(survivors, batch_id, bands_surv)
+
+        if not collect_stats:
+            return IngestStats(batch_id, -1, -1, -1, -1)
+        # stats: scalar counts only — never id sets (a batch can be
+        # millions of docs; collected stats must stay O(1))
+        n_vs = verified.join(cand_corpus.select("a_id", "b_id"),
+                             on=["a_id", "b_id"], how="left_semi") \
+            .select("b_id").distinct().count()
+        n_in = new_docs.count()
+        n_appended = survivors.count()
+        n_dropped = n_in - n_appended
+        # a doc dropped by both rules is attributed to vs-corpus
+        return IngestStats(batch_id, n_in, n_vs, n_dropped - n_vs,
+                           n_appended)

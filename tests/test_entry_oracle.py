@@ -97,6 +97,20 @@ def test_char_ngram_jaccard_local_oracle(spark):
     assert _value_hash(spark_pdf) == _value_hash(duck_pdf)
 
 
+def test_minhash_near_dup_pairs_local_oracle(spark):
+    """minhash_near_dup_pairs was retired from the driver's 50-query
+    window in favor of incremental_dedup, which composes the same
+    kernels (minhash_signature, band hashing, exact-Jaccard verify)
+    with the persisted band index + MOR lake commits under the same
+    brute-force oracle regime. The standalone query keeps the
+    IDENTICAL gate here so the operator never regresses locally."""
+    spark_pdf = E.q_minhash_near_dup_pairs(spark, SF_DIR).toPandas()
+    duck_pdf = _duck(E.SQL_MINHASH_NEAR_DUP)
+    assert len(spark_pdf) == len(duck_pdf)
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    assert _value_hash(spark_pdf) == _value_hash(duck_pdf)
+
+
 def test_top_similar_pairs_local_oracle(spark):
     """top_similar_pairs was retired from the driver's 50-query window
     to make room for semantic_dedup (its all-pairs exact-cosine kernel

@@ -1,0 +1,123 @@
+"""Incremental dedup corpus (operators/incremental.py): ingest-time
+near-dup dedup against the persisted MinHash band index, exactly-once
+replay recovery, and shared-kernel consistency with the in-batch LSH
+path."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlp_plugins_spark.operators import dedup as D
+from dlp_plugins_spark.operators.incremental import DedupCorpus
+
+def _doc(i: int, extra: str = "") -> str:
+    # 40 words from a per-doc vocabulary: distinct docs share NO
+    # shingles (J=0); a near-copy (one appended word) has J = 36/37
+    base = " ".join(f"tok{i}x{j}" for j in range(40))
+    return base + (" " + extra if extra else "")
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    return DedupCorpus.create(str(tmp_path / "dc"), n_buckets=4,
+                              threshold=0.8)
+
+
+def test_ingest_within_and_vs_corpus(spark, corpus):
+    # batch 0: three distinct docs + an exact dup of doc 1 (id 3)
+    b0 = _docs_df(spark, [(0, _doc(0)), (1, _doc(7)), (2, _doc(14)),
+                          (3, _doc(7))])
+    s0 = corpus.ingest(spark, b0, batch_id=0)
+    assert (s0.n_in, s0.n_dropped_within, s0.n_dropped_vs_corpus,
+            s0.n_appended) == (4, 1, 0, 3)
+
+    # batch 1: a near-copy of surviving doc 0 (one appended word,
+    # J ~ 36/37), a fresh doc, and a within-batch near-pair
+    b1 = _docs_df(spark, [(10, _doc(0, "appended")), (11, _doc(21)),
+                          (12, _doc(28)), (13, _doc(28, "tweaked"))])
+    s1 = corpus.ingest(spark, b1, batch_id=1)
+    assert s1.n_dropped_vs_corpus == 1          # doc 10 vs corpus doc 0
+    assert s1.n_dropped_within == 1             # doc 13 vs doc 12
+    assert s1.n_appended == 2                   # docs 11, 12
+
+    surv = {r.doc_id: r.ingest_batch
+            for r in corpus.corpus_df(spark).collect()}
+    assert surv == {0: 0, 1: 0, 2: 0, 11: 1, 12: 1}
+
+
+def test_replay_recovers_not_self_matches(spark, corpus):
+    b0 = _docs_df(spark, [(0, _doc(0)), (1, _doc(7))])
+    corpus.ingest(spark, b0, batch_id=0)
+    before = sorted(r.doc_id for r in corpus.corpus_df(spark).collect())
+    idx_before = corpus.index_df(spark).count()
+
+    # replay the same batch: without the applied-batch guard the docs
+    # would self-match at J=1.0 and the ingest would report total drop
+    s = corpus.ingest(spark, b0, batch_id=0)
+    assert s.recovered and s.n_appended == 2
+    after = sorted(r.doc_id for r in corpus.corpus_df(spark).collect())
+    assert after == before
+    assert corpus.index_df(spark).count() == idx_before
+
+
+def test_index_matches_inbatch_kernel(spark, corpus):
+    """The persisted band index must hash identically to the in-batch
+    LSH path — guaranteed by sharing minhash_band_rows, asserted here
+    end-to-end."""
+    b0 = _docs_df(spark, [(0, _doc(0)), (1, _doc(7)), (2, _doc(14))])
+    corpus.ingest(spark, b0, batch_id=0)
+    sig = D.minhash_signature(corpus.corpus_df(spark).select(
+        "doc_id", "text"))
+    expect = sorted(
+        (r.doc_id, r._band_idx, r._band_hash)
+        for r in D.minhash_band_rows(sig).collect()
+    )
+    got = sorted(
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in corpus.index_df(spark).collect()
+    )
+    assert got == expect
+
+
+def test_incremental_index_catches_cross_batch_dup(spark, corpus):
+    """The core incremental property: batch 2's dup of a batch-1
+    survivor is caught because batch 1 UPDATED the index."""
+    corpus.ingest(spark, _docs_df(spark, [(0, _doc(0))]), batch_id=0)
+    corpus.ingest(spark, _docs_df(spark, [(10, _doc(7))]), batch_id=1)
+    s2 = corpus.ingest(
+        spark, _docs_df(spark, [(20, _doc(7, "suffix")), (21, _doc(14))]),
+        batch_id=2)
+    assert s2.n_dropped_vs_corpus == 1 and s2.n_appended == 1
+    surv = sorted(r.doc_id for r in corpus.corpus_df(spark).collect())
+    assert surv == [0, 10, 21]
+
+
+def test_short_docs_always_survive(spark, corpus):
+    # fewer than shingle_k words: no shingles, can never match
+    b0 = _docs_df(spark, [(0, "tiny doc"), (1, "tiny doc")])
+    s0 = corpus.ingest(spark, b0, batch_id=0)
+    assert s0.n_appended == 2
+    s1 = corpus.ingest(spark, _docs_df(spark, [(2, "tiny doc")]),
+                       batch_id=1)
+    assert s1.n_appended == 1
+
+
+def test_compact_preserves_state(spark, corpus):
+    corpus.ingest(spark, _docs_df(spark, [(0, _doc(0)), (1, _doc(7))]),
+                  batch_id=0)
+    corpus.ingest(spark, _docs_df(spark, [(10, _doc(14))]), batch_id=1)
+    before = sorted((r.doc_id, r.text, r.ingest_batch)
+                    for r in corpus.corpus_df(spark).collect())
+    idx_before = sorted((r.band_idx, r.band_hash, r.doc_id)
+                        for r in corpus.index_df(spark).collect())
+    corpus.compact(spark)
+    after = sorted((r.doc_id, r.text, r.ingest_batch)
+                   for r in corpus.corpus_df(spark).collect())
+    idx_after = sorted((r.band_idx, r.band_hash, r.doc_id)
+                       for r in corpus.index_df(spark).collect())
+    assert after == before and idx_after == idx_before
