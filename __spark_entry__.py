@@ -3,10 +3,10 @@
 ``entry(spark)`` — flagship: DLP redaction pipeline over sf0.001 docs.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 incl.
 §2.7 engine-added ops + the training-data-pipeline operators); each
-callable (spark, sf_dir) -> DF. 55 entries: 50 oracle-backed FIRST
+callable (spark, sf_dir) -> DF. 56 entries: 50 oracle-backed FIRST
 (the correctness driver runs at most 50 queries, so ordering is
 attestation-load-bearing — asserted by tests/test_entry_oracle.py::
-test_oracle_queries_fit_driver_cap), then the 5 rows-only ones.
+test_oracle_queries_fit_driver_cap), then the 6 below-cap ones.
 Near-duplicate attestations are consolidated into multi-column queries
 so every oracle-backed operator gets a driver-green CORRECTNESS row;
 char_ngram_jaccard's standalone entry was retired in favor of
@@ -27,10 +27,12 @@ near-dups, lang-ID), persisted-binlog replication (CDC replay + schema
 evolution), aggregate round-trip invariants (FPE / deterministic
 encryption), the portable context-keyed date shift, and the composed
 corpus_pipeline (quality -> paragraph dedup -> minhash dedup ->
-decontaminate in one chained plan). The 5 queries without an oracle are
+decontaminate in one chained plan). Of the 6 below-cap queries, 5 are
 genuinely non-SQL-expressible (simhash signatures, approximate ANN
 top-k) — the driver records rows-only checks for those; their real
-verification lives in tests/ (recall gates, known values).
+verification lives in tests/ (recall gates, known values). The sixth
+(brute_force_topk) is SQL-expressible but retired from the window; it
+keeps an identical local oracle gate in tests/test_entry_oracle.py.
 """
 
 from __future__ import annotations
@@ -595,6 +597,75 @@ SELECT query_id, neighbor_id, cosine, rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
 WHERE rank <= 5
+"""
+
+
+# deterministic per-source mixing rates (data-mixing fixture): the SAME
+# dict drives the Spark filter and the generated SQL CASE, and every
+# rate is quantized to 2^-60 by rate_threshold_hex — no float boundary
+# for the two engines to disagree over
+_MIX_RATES = {f"src{i}": round(0.05 + ((i * 7) % 10) / 10.0, 2)
+              for i in range(20)}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic data mixing (operators/sampling.py),
+    ORACLE-ATTESTED both ways: (a) quota_sample — exactly min(40, |lang
+    group|) docs per language, defined as the group's 40 smallest
+    (md5(seed|id) prefix, id) pairs; the Spark side runs the two-phase
+    skew-immune form (broadcast counts -> hash prefilter -> window over
+    ~safety*n rows/group -> exact underfill fallback) and DuckDB runs
+    the naive full window — they must agree row-for-row, which attests
+    the two-phase trim's exactness end-to-end. (b) mixture_sample —
+    per-source Bernoulli rates from _MIX_RATES keyed on a second seed;
+    a pure scan-pushable filter with the same quantized-threshold
+    constants in the SQL. A doc may appear under both methods; the
+    method column keeps the rows distinct."""
+    from dlp_plugins_spark.operators.sampling import (
+        mixture_sample, quota_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "source")
+    quota = quota_sample(docs, "lang", 40, id_col="doc_id", seed=7) \
+        .select("doc_id", "lang", "source",
+                F.lit("quota").alias("method"))
+    mix = mixture_sample(docs, "source", _MIX_RATES, id_col="doc_id",
+                         seed=11) \
+        .select("doc_id", "lang", "source",
+                F.lit("mixture").alias("method"))
+    return quota.unionByName(mix).orderBy("method", "doc_id")
+
+
+def _mix_case_sql() -> str:
+    from dlp_plugins_spark.operators.sampling import rate_threshold_hex
+    whens = "\n    ".join(
+        f"WHEN '{src}' THEN '{rate_threshold_hex(r)}'"
+        for src, r in sorted(_MIX_RATES.items())
+    )
+    return (f"CASE source\n    {whens}\n    "
+            f"ELSE '{rate_threshold_hex(0.0)}' END")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH k AS (
+  SELECT doc_id, lang, source,
+         substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15) AS kq,
+         substr(md5('11|' || CAST(doc_id AS VARCHAR)), 1, 15) AS km
+  FROM documents),
+quota AS (
+  SELECT doc_id, lang, source FROM (
+    SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY kq, doc_id) AS rn
+    FROM k) WHERE rn <= 40),
+mix AS (
+  SELECT doc_id, lang, source FROM k
+  WHERE km < {_mix_case_sql()})
+SELECT doc_id, lang, source, 'quota' AS method FROM quota
+UNION ALL
+SELECT doc_id, lang, source, 'mixture' AS method FROM mix
+ORDER BY method, doc_id
 """
 
 
@@ -2435,13 +2506,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_entry_oracle.py::test_char_ngram_jaccard_local_oracle.
         "exact_dedup_keep": q_exact_dedup_keep,
         "near_dup_components": q_near_dup_components,
-        # top_similar_pairs was retired from the driver window in round
-        # 5 to make room for semantic_dedup: its all-pairs exact-cosine
+        # top_similar_pairs AND brute_force_topk were retired from the
+        # driver window in round 5 (for semantic_dedup and
+        # stratified_sample respectively): their all-pairs exact-cosine
         # kernel is replayed driver-side inside both embedding_near_dup
-        # and semantic_dedup oracles, and the standalone query keeps an
-        # identical local gate in tests/test_entry_oracle.py::
-        # test_top_similar_pairs_local_oracle.
-        "brute_force_topk": q_brute_force_topk,
+        # and semantic_dedup oracles, and each standalone query keeps an
+        # identical local gate in tests/test_entry_oracle.py
+        # (test_top_similar_pairs_local_oracle,
+        # test_brute_force_topk_local_oracle). brute_force_topk remains
+        # the recall baseline for every ANN gate in
+        # tests/test_pipeline_ops.py.
+        "stratified_sample": q_stratified_sample,
         # oracle-attested via planted fixtures / aggregate invariants /
         # persisted-binlog replication
         "embedding_near_dup": q_embedding_near_dup,
@@ -2484,6 +2559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   gates in tests/test_pipeline_ops.py (the _distributed variant
         #   exercises the k-means|| trainer at n_lists beyond the 4k
         #   sample regime)
+        # brute_force_topk sits below the cap (retired in favor of
+        # stratified_sample; local oracle gate + ANN recall baselines
+        # keep it attested)
+        "brute_force_topk": q_brute_force_topk,
         "simhash_docs": q_simhash_docs,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -2506,7 +2585,7 @@ def oracle_sql() -> dict[str, str]:
         "top5_orders_per_status": SQL_TOP5_ORDERS,
         "token_stats_by_lang": SQL_TOKEN_STATS,
         "quality_by_source": SQL_QUALITY_BY_SOURCE,
-        "brute_force_topk": SQL_BRUTE_FORCE_TOPK,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "finding_counts_by_lang": SQL_FINDING_COUNTS,
         "split_error_port": SQL_SPLIT_ERROR_PORT,

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "token_stats_by_lang",
     "quality_by_source",
     "exact_dedup_keep",
+    "stratified_sample",
     "near_dup_components",
     "incremental_dedup",
     "winnow_fingerprints",

@@ -1,0 +1,136 @@
+"""Deterministic stratified sampling and mixture weighting (data mixing).
+
+Training-data pipelines end with a MIXING step: per-domain quotas
+("at most N docs per language/domain") and per-source rates ("keep 30%
+of web, 80% of books") that must be deterministic and replayable — a
+re-run of the pipeline must pick byte-identical corpora, and an
+auditor must be able to replay the pick in SQL. Both operators here
+key every decision on ``md5(seed|doc_id)`` — no RNG state, no
+partition-order dependence, reproducible in any engine.
+
+Sample key: the first 15 hex chars (60 bits) of ``md5(seed|id)``,
+compared as STRINGS — fixed-width lowercase hex compares
+lexicographically exactly like the number it encodes, and every SQL
+engine agrees on it. Rates are quantized to 2^-60 by construction
+(``rate_threshold_hex``); the SAME hex constant is used in the Spark
+filter and the SQL oracle, so there is no float boundary to disagree
+over.
+
+100 TB shape:
+- ``mixture_sample`` is a pure filter — no shuffle, no UDF; Catalyst
+  pushes it into the scan.
+- ``quota_sample`` must rank within groups, and a naive global window
+  sorts each group in ONE task — a billion-row hot group is a
+  straggler by construction. The two-phase form here broadcasts the
+  per-group counts, prefilters to ~safety*n rows per group by hash
+  threshold (the kept set is a PREFIX of the ranking order, so the
+  trim stays exact), and only then windows — the sort per group is
+  O(safety*n), independent of group size. Groups the prefilter
+  underfills (Chernoff-improbable at the default safety margin, but
+  possible) are detected by count and re-ranked exactly — correctness
+  never rests on the concentration bound.
+
+Reference scope: the reference engine (data-integrations/dlp-plugins)
+has no sampling path — this family is brief-scope (training-data
+pipeline operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+KEY_HEX_LEN = 15  # 60 bits of md5 — the sample-key width
+
+
+def sample_key(id_col, seed: int) -> Column:
+    """Deterministic uniform sample key: ``md5(seed|id)`` (full hex)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat_ws("|", F.lit(str(seed)), c.cast("string")))
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """Quantize a keep-rate to a 15-hex-digit threshold: a row is kept
+    iff its sample-key prefix < threshold (string compare). rate >= 1
+    returns 'g', which is lexicographically above every hex digit —
+    keep-all. The same constant must go into the Spark filter and the
+    SQL oracle; rates are thereby quantized to 2^-60."""
+    if rate >= 1.0:
+        return "g"
+    thr = max(int(rate * 16 ** KEY_HEX_LEN), 0)
+    if thr >= 16 ** KEY_HEX_LEN:
+        return "g"
+    return format(thr, f"0{KEY_HEX_LEN}x")
+
+
+def _key_prefix(id_col, seed: int) -> Column:
+    return F.substring(sample_key(id_col, seed), 1, KEY_HEX_LEN)
+
+
+def mixture_sample(df: DataFrame, group_col: str, rates: dict[str, float],
+                   id_col: str = "doc_id", seed: int = 42,
+                   default_rate: float = 0.0) -> DataFrame:
+    """Per-group deterministic Bernoulli mixing: keep a row iff its
+    sample key falls under its group's quantized rate threshold.
+    Pure filter — no shuffle, no UDF, scan-pushable."""
+    key = _key_prefix(id_col, seed)
+    g = F.col(group_col)
+    thr = None
+    for gv, r in sorted(rates.items()):
+        lit = F.lit(rate_threshold_hex(r))
+        thr = F.when(g == gv, lit) if thr is None else thr.when(g == gv, lit)
+    default = F.lit(rate_threshold_hex(default_rate))
+    thr = default if thr is None else thr.otherwise(default)
+    return df.filter(key < thr)
+
+
+def quota_sample(df: DataFrame, group_col: str, n: int,
+                 id_col: str = "doc_id", seed: int = 42,
+                 prefilter_safety: float = 4.0) -> DataFrame:
+    """Exactly ``min(n, |group|)`` rows per group — the group's n
+    smallest (sample_key, id) pairs, so the pick is deterministic and
+    SQL-replayable as ``row_number() OVER (PARTITION BY group ORDER BY
+    key, id) <= n``.
+
+    Two-phase exactness argument: the prefilter keeps {key < thr},
+    which is a prefix of the (key, id) ranking; whenever a group
+    retains >= n rows, its true top-n are all inside the kept set, so
+    windowing the kept set returns exactly the full-group answer.
+    Groups retaining fewer than min(n, |group|) rows are re-ranked
+    without the prefilter (bounded driver list: group values only)."""
+    out_cols = list(df.columns)
+    kdf = df.withColumn("_skey", _key_prefix(id_col, seed))
+    counts = kdf.groupBy(group_col).agg(F.count("*").alias("_gn"))
+    rate = F.least(F.lit(1.0),
+                   F.lit(float(n) * prefilter_safety) / F.col("_gn"))
+    # floor() yields LONG; conv() emits uppercase hex — lower() to
+    # compare against the lowercase md5 prefix
+    thr = F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(F.conv(
+                F.floor(rate * F.lit(float(16 ** KEY_HEX_LEN)))
+                .cast("string"), 10, 16)),
+            KEY_HEX_LEN, "0"))
+    counts = counts.withColumn("_thr", thr)
+
+    cand = kdf.join(F.broadcast(counts), on=group_col) \
+        .filter(F.col("_skey") < F.col("_thr"))
+    w = Window.partitionBy(group_col).orderBy("_skey", id_col)
+    picked = cand.withColumn("_rn", F.row_number().over(w)) \
+        .filter(F.col("_rn") <= n)
+
+    # underfill check: a group must yield min(n, _gn) rows; collect is
+    # bounded by the number of DISTINCT GROUPS (metadata, not rows)
+    got = picked.groupBy(group_col).agg(F.count("*").alias("_pn"))
+    under = counts.join(got, on=group_col, how="left").filter(
+        F.coalesce(F.col("_pn"), F.lit(0))
+        < F.least(F.lit(n), F.col("_gn")))
+    under_groups = [r[0] for r in under.select(group_col).collect()]
+    if under_groups:
+        exact = kdf.filter(F.col(group_col).isin(under_groups)) \
+            .withColumn("_rn", F.row_number().over(w)) \
+            .filter(F.col("_rn") <= n)
+        picked = picked.filter(~F.col(group_col).isin(under_groups)) \
+            .select(*out_cols).unionByName(exact.select(*out_cols))
+        return picked
+    return picked.select(*out_cols)

@@ -97,6 +97,21 @@ def test_char_ngram_jaccard_local_oracle(spark):
     assert _value_hash(spark_pdf) == _value_hash(duck_pdf)
 
 
+def test_brute_force_topk_local_oracle(spark):
+    """brute_force_topk was retired from the driver's 50-query window
+    in favor of stratified_sample (its all-pairs exact-cosine kernel is
+    replayed driver-side inside the embedding_near_dup and
+    semantic_dedup oracles, and it remains the recall baseline for
+    every ANN gate in tests/test_pipeline_ops.py). The standalone query
+    keeps the IDENTICAL gate here so the operator never regresses
+    locally."""
+    spark_pdf = E.q_brute_force_topk(spark, SF_DIR).toPandas()
+    duck_pdf = _duck(E.SQL_BRUTE_FORCE_TOPK)
+    assert len(spark_pdf) == len(duck_pdf)
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    assert _value_hash(spark_pdf) == _value_hash(duck_pdf)
+
+
 def test_minhash_near_dup_pairs_local_oracle(spark):
     """minhash_near_dup_pairs was retired from the driver's 50-query
     window in favor of incremental_dedup, which composes the same

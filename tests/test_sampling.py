@@ -1,0 +1,98 @@
+"""Stratified quota sampling + mixture weighting (operators/sampling.py):
+exactness of the two-phase quota trim vs the naive full-window
+reference, the underfill fallback, determinism, and key portability."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dlp_plugins_spark.operators.sampling import (
+    mixture_sample,
+    quota_sample,
+    rate_threshold_hex,
+    sample_key,
+)
+
+
+def _mkdf(spark):
+    # group sizes 3 (under n), 40, 200 (trimmed)
+    rows = ([(i, "small") for i in range(3)]
+            + [(100 + i, "mid") for i in range(40)]
+            + [(1000 + i, "big") for i in range(200)])
+    return spark.createDataFrame(rows, "doc_id long, grp string")
+
+
+def _reference_quota(df, n, seed):
+    w = Window.partitionBy("grp").orderBy("_k", "doc_id")
+    return (df.withColumn("_k", F.substring(sample_key("doc_id", seed),
+                                            1, 15))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n).select("doc_id", "grp"))
+
+
+def test_quota_matches_naive_window(spark):
+    df = _mkdf(spark)
+    got = sorted((r.doc_id, r.grp)
+                 for r in quota_sample(df, "grp", 25, seed=7).collect())
+    exp = sorted((r.doc_id, r.grp)
+                 for r in _reference_quota(df, 25, 7).collect())
+    assert got == exp
+    per_group = {}
+    for _, g in got:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert per_group == {"small": 3, "mid": 25, "big": 25}
+
+
+def test_quota_underfill_fallback_exact(spark):
+    # safety so small the prefilter keeps ~nothing: the fallback must
+    # still return the exact full-window answer
+    df = _mkdf(spark)
+    got = sorted(
+        (r.doc_id, r.grp)
+        for r in quota_sample(df, "grp", 25, seed=7,
+                              prefilter_safety=0.01).collect())
+    exp = sorted((r.doc_id, r.grp)
+                 for r in _reference_quota(df, 25, 7).collect())
+    assert got == exp
+
+
+def test_quota_deterministic_across_runs(spark):
+    df = _mkdf(spark).repartition(7)
+    a = sorted(r.doc_id for r in quota_sample(df, "grp", 10).collect())
+    b = sorted(r.doc_id
+               for r in quota_sample(df.repartition(3), "grp",
+                                     10).collect())
+    assert a == b
+
+
+def test_mixture_rates_and_default(spark):
+    df = _mkdf(spark)
+    out = mixture_sample(df, "grp", {"big": 0.5, "mid": 1.0}, seed=3)
+    rows = [(r.doc_id, r.grp) for r in out.collect()]
+    by_grp = {}
+    for _, g in rows:
+        by_grp[g] = by_grp.get(g, 0) + 1
+    assert "small" not in by_grp          # default rate 0
+    assert by_grp["mid"] == 40            # rate 1.0 keeps all
+    assert 60 <= by_grp["big"] <= 140     # ~0.5 of 200
+    # deterministic: same pick on a different partitioning
+    again = [(r.doc_id, r.grp)
+             for r in mixture_sample(df.repartition(5), "grp",
+                                     {"big": 0.5, "mid": 1.0},
+                                     seed=3).collect()]
+    assert sorted(rows) == sorted(again)
+
+
+def test_sample_key_portable(spark):
+    row = spark.range(1).select(
+        sample_key(F.lit(12345).cast("long"), 9).alias("k")).collect()[0]
+    assert row.k == hashlib.md5(b"9|12345").hexdigest()
+
+
+def test_rate_threshold_quantization():
+    assert rate_threshold_hex(0.0) == "0" * 15
+    assert rate_threshold_hex(1.0) == "g"
+    assert rate_threshold_hex(2.0) == "g"
+    half = rate_threshold_hex(0.5)
+    assert len(half) == 15 and half.startswith("8")
