@@ -190,3 +190,62 @@ def stream_debezium_replay(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ingest_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    corpus,
+    checkpoint_dir: str,
+    doc_schema=None,
+    max_files_per_trigger: int = 4,
+    batch_id_base: int = 0,
+):
+    """Streaming dedup-ingest tail: a parquet file stream of new
+    documents is deduplicated against (and appended to) a
+    ``operators/incremental.DedupCorpus`` one micro-batch at a time —
+    the continuous form of corpus construction, the way a crawler or
+    CDC firehose actually delivers documents.
+
+    Exactly-once: the ingest batch id is ``batch_id_base + epoch_id``.
+    foreachBatch epoch ids are stable under micro-batch RETRY while the
+    checkpoint is retained (Spark's documented idempotent-sink
+    contract), so a replayed epoch hits ``DedupCorpus.ingest``'s
+    applied-batch recovery path — survivors are recovered from the
+    corpus instead of self-matching at J=1.0, and the index merge
+    re-issues idempotently. The checkpoint is therefore part of the
+    corpus's durable state: discarding it while keeping the tables
+    resets epoch numbering and MUST be paired with a new
+    ``batch_id_base`` above all applied ids.
+
+    Single-writer discipline: dedup decisions read corpus state, so
+    two concurrent ingest writers could each admit the other's
+    near-duplicates (decide-then-commit race). Run ONE ingest tail per
+    corpus; scale inside the batch, not across writers.
+
+    Returns the StreamingQuery (``processAllAvailable()`` to drain in
+    tests, ``awaitTermination()`` in deployment)."""
+    import pyspark.sql.types as T
+
+    if doc_schema is None:
+        doc_schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ])
+
+    def apply_micro_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        corpus.ingest(batch_df.sparkSession, batch_df,
+                      batch_id_base + int(epoch_id), collect_stats=False)
+
+    return (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+        .writeStream
+        .foreachBatch(apply_micro_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

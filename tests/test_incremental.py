@@ -3,8 +3,6 @@ near-dup dedup against the persisted MinHash band index, exactly-once
 replay recovery, and shared-kernel consistency with the in-batch LSH
 path."""
 
-import tempfile
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -121,3 +119,30 @@ def test_compact_preserves_state(spark, corpus):
     idx_after = sorted((r.band_idx, r.band_hash, r.doc_id)
                        for r in corpus.index_df(spark).collect())
     assert after == before and idx_after == idx_before
+
+
+def test_stream_ingest_dedup(spark, tmp_path, corpus):
+    """Streaming dedup-ingest tail: three segment files delivered as
+    separate micro-batches; invariants are asserted order-free (the
+    file source's listing order is an implementation detail)."""
+    from dlp_plugins_spark.streaming.tail import stream_ingest_dedup
+
+    seg = str(tmp_path / "segs")
+    f0 = [(i, _doc(i)) for i in range(10)] + [(100, _doc(0))]
+    f1 = [(i, _doc(i)) for i in range(20, 30)]
+    f2 = [(200, _doc(5, "suffix")), (201, _doc(40))]
+    for rows in (f0, f1, f2):
+        _docs_df(spark, rows).coalesce(1).write.mode("append").parquet(seg)
+
+    q = stream_ingest_dedup(spark, seg, corpus,
+                            str(tmp_path / "ckpt"),
+                            max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+
+    surv = sorted(r.doc_id for r in corpus.corpus_df(spark).collect())
+    assert 100 not in surv                   # within-batch exact dup
+    assert sum(1 for d in (5, 200) if d in surv) == 1  # cross-batch dup
+    for d in [*range(5), *range(6, 10), *range(20, 30), 201]:
+        assert d in surv
+    assert len(surv) == 21
