@@ -321,7 +321,8 @@ class LakeTable:
 
     # -- read ------------------------------------------------------------------
     def read(self, spark: SparkSession, buckets: list[int] | None = None,
-             snapshot: Snapshot | None = None) -> DataFrame:
+             snapshot: Snapshot | None = None,
+             append_only: bool = False) -> DataFrame:
         """Read the table (optionally restricted to buckets) AT a snapshot.
 
         An explicit read schema makes older files missing newer (additive)
@@ -334,7 +335,19 @@ class LakeTable:
         actually have deltas; clean buckets stay on the plain-scan path
         and union in shuffle-free (at scale a few dirty buckets must not
         force a full-table shuffle). Snapshots without deltas are a pure
-        scan."""
+        scan.
+
+        ``append_only=True``: the CALLER asserts every committed row is a
+        unique-key insert (no updates, no tombstones) — true for ledger
+        tables like the dedup band index and corpus
+        (``operators/incremental.py``), where the merge path's
+        exactly-once filtering already guarantees each key lands once.
+        Winner resolution is then an identity, so delta files scan in
+        place and the read is SHUFFLE-FREE regardless of delta count —
+        without this, every probe of an all-delta MOR ledger would
+        shuffle the whole table. Tombstones, if present despite the
+        assertion, are still dropped (cheap row filter), but duplicate
+        keys would NOT be resolved — the flag is a contract, not a mode."""
         snap = snapshot or self.current_snapshot()
         schema = snap.schema()
         want = None if buckets is None else set(buckets)
@@ -367,6 +380,13 @@ class LakeTable:
             schema.fields + [T.StructField("_op", T.StringType(), True)]
         )
         delta_df = scan(delta, delta_schema)
+        if append_only:
+            flat = delta_df.filter(F.col("_op") != "D").drop("_op")
+            for part in (scan(dirty_base, schema) if dirty_base else None,
+                         clean_df):
+                if part is not None:
+                    flat = flat.unionByName(part)
+            return flat
         if dirty_base:
             both = scan(dirty_base, schema).withColumn("_op", F.lit("U")) \
                 .unionByName(delta_df, allowMissingColumns=True)

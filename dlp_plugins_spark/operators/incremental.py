@@ -149,12 +149,16 @@ class DedupCorpus:
     # -- reads ----------------------------------------------------------------
 
     def corpus_df(self, spark: SparkSession) -> DataFrame:
-        return self.corpus.read(spark).select("doc_id", "text",
-                                              "ingest_batch")
+        # both tables are insert-only ledgers with unique keys (the merge
+        # path's exactly-once filter guarantees it), so reads take the
+        # shuffle-free append_only path — without it every ingest would
+        # shuffle the whole index/corpus through MOR winner resolution
+        return self.corpus.read(spark, append_only=True) \
+            .select("doc_id", "text", "ingest_batch")
 
     def index_df(self, spark: SparkSession) -> DataFrame:
-        return self.index.read(spark).select("band_idx", "band_hash",
-                                             "doc_id")
+        return self.index.read(spark, append_only=True) \
+            .select("band_idx", "band_hash", "doc_id")
 
     def compact(self, spark: SparkSession) -> None:
         """Fold merge-on-read deltas into base files on both tables —
@@ -200,7 +204,7 @@ class DedupCorpus:
             # self-match at J=1.0 and wrongly drop everything) and
             # re-issue the idempotent index merge for the crash window
             # between the two commits.
-            survivors = self.corpus.read(spark) \
+            survivors = self.corpus.read(spark, append_only=True) \
                 .filter(F.col("ingest_batch") == batch_id) \
                 .select("doc_id", "text").transform(_materialize)
             self._append(survivors, batch_id, self._band_rows(survivors))
@@ -243,7 +247,7 @@ class DedupCorpus:
         cands = cand_within.unionByName(cand_corpus).transform(_materialize)
         old_ids = cands.select(F.col("a_id").alias("doc_id")) \
             .subtract(new_docs.select("doc_id"))
-        old_texts = self.corpus.read(spark) \
+        old_texts = self.corpus.read(spark, append_only=True) \
             .join(old_ids, on="doc_id", how="left_semi") \
             .select("doc_id", "text")
         texts = new_docs.unionByName(old_texts)
