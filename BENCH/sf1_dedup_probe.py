@@ -126,6 +126,46 @@ def probe_semantic(spark, emb, k: int, label: str) -> dict:
             "wall_sec": wall}
 
 
+def probe_incremental(spark, docs, label: str, out_dir: str) -> dict:
+    """Incremental-dedup scale probe: bootstrap a DedupCorpus from the
+    whole slice, then ingest a FIXED-SIZE probe batch (200 planted
+    near-copies of corpus docs + 300 fresh synthetic docs). Per the
+    design (operators/incremental.py), probe-batch cost must be
+    O(batch + collisions) plus an index/corpus SCAN term — so the fixed
+    batch's wall may grow with corpus IO from 1x to 10x, but its
+    collision count must track the planted 200, and nothing may grow
+    superlinearly. dropped_vs_corpus == 200 at both scales is also a
+    recall check against a 10x larger index."""
+    from dlp_plugins_spark.operators.incremental import DedupCorpus
+
+    tdir = tempfile.mkdtemp(prefix=f"inc_probe_{label}_", dir=out_dir)
+    dc = DedupCorpus.create(os.path.join(tdir, "dc"), n_buckets=16,
+                            threshold=0.9)
+    t0 = time.monotonic()
+    dc.ingest(spark, docs, 0, collect_stats=False)
+    boot_wall = round(time.monotonic() - t0, 2)
+
+    dups = docs.orderBy("doc_id").limit(200).select(
+        (F.col("doc_id") + F.lit(2_000_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qqprobetoken")).alias("text"))
+    fresh = spark.range(300).select(
+        (F.col("id") + F.lit(3_000_000_000)).alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit(f"probe{j}w"), F.col("id").cast("string"))
+            for j in range(40)
+        ]).alias("text"))
+    batch = dups.unionByName(fresh)
+    t0 = time.monotonic()
+    s = dc.ingest(spark, batch, 1, collect_stats=True)
+    probe_wall = round(time.monotonic() - t0, 2)
+    return {"label": label, "n_corpus": docs.count(),
+            "bootstrap_wall_sec": boot_wall,
+            "probe_batch_wall_sec": probe_wall,
+            "dropped_vs_corpus": s.n_dropped_vs_corpus,
+            "dropped_within": s.n_dropped_within,
+            "appended": s.n_appended}
+
+
 def probe(spark, docs, label: str) -> dict:
     from dlp_plugins_spark.functions.text import winnow_fingerprints
     from dlp_plugins_spark.operators.decontaminate import (
@@ -209,6 +249,10 @@ def main() -> None:
                                           f"sem_1x_pass{rnd}"))
             results.append(probe_semantic(spark, emb10, 64 * COPIES,
                                           f"sem_{COPIES}x_pass{rnd}"))
+            results.append(probe_incremental(spark, docs1,
+                                             f"inc_1x_pass{rnd}", tdir))
+            results.append(probe_incremental(
+                spark, docs10, f"inc_{COPIES}x_pass{rnd}", tdir))
         print(json.dumps({"hw": _hw_probe(), "sf_dir": SF_DIR,
                           "copies": COPIES, "runs": results}))
     finally:
