@@ -231,16 +231,20 @@ class DedupCorpus:
         # vs-corpus candidates: broadcast the batch's band rows into the
         # index scan — the (large) index side streams through the hash
         # join with no shuffle; a_id = already-ingested doc, b_id = new.
-        probe = bands_new.select(
-            F.col("_band_idx").alias("band_idx"),
-            F.col("_band_hash").alias("band_hash"),
-            F.col("doc_id").alias("b_id"))
-        cand_corpus = (
-            self.index_df(spark)
-            .join(F.broadcast(probe), on=["band_idx", "band_hash"])
-            .select(F.col("doc_id").alias("a_id"), "b_id")
-            .distinct()
-        )
+        # Bootstrap ingests skip the probe outright (empty index).
+        if self.index.current_snapshot().files:
+            probe = bands_new.select(
+                F.col("_band_idx").alias("band_idx"),
+                F.col("_band_hash").alias("band_hash"),
+                F.col("doc_id").alias("b_id"))
+            cand_corpus = (
+                self.index_df(spark)
+                .join(F.broadcast(probe), on=["band_idx", "band_hash"])
+                .select(F.col("doc_id").alias("a_id"), "b_id")
+                .distinct()
+            )
+        else:
+            cand_corpus = spark.createDataFrame([], "a_id long, b_id long")
 
         # verify with exact shingle Jaccard over candidates only; old
         # texts are semi-joined out of the corpus (size ~ collisions)
@@ -255,9 +259,11 @@ class DedupCorpus:
                                        self.shingle_k) \
             .filter(F.col("jaccard") >= self.threshold)
 
-        # one drop rule both ways: b_id is always the new/larger doc
-        losers = verified.select(F.col("b_id").alias("doc_id")) \
-            .distinct().transform(_materialize)
+        # one drop rule both ways: b_id is always the new/larger doc.
+        # (No materialization barrier: losers feeds exactly one
+        # anti-join; the upstream verify pipeline re-evaluates zero
+        # extra times because survivors is barriered right below.)
+        losers = verified.select(F.col("b_id").alias("doc_id")).distinct()
         survivors = new_docs.join(losers, on="doc_id", how="left_anti") \
             .transform(_materialize)
         bands_surv = bands_new.join(survivors.select("doc_id"),
