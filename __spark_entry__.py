@@ -619,10 +619,16 @@ def q_stratified_sample(spark, sf_dir):
     the two-phase trim's exactness end-to-end. (b) mixture_sample —
     per-source Bernoulli rates from _MIX_RATES keyed on a second seed;
     a pure scan-pushable filter with the same quantized-threshold
-    constants in the SQL. A doc may appear under both methods; the
-    method column keeps the rows distinct."""
+    constants in the SQL. (c) token_budget_sample — keep docs per
+    language in key order until a 5000-token budget is exhausted
+    (token counts via the already-attested whitespace formula); the
+    Spark side runs the two-phase prefilter + running-sum window with
+    exact underfill fallback, DuckDB the naive running-sum window. A
+    doc may appear under several methods; the method column keeps the
+    rows distinct."""
+    from dlp_plugins_spark.functions.text import whitespace_token_count
     from dlp_plugins_spark.operators.sampling import (
-        mixture_sample, quota_sample,
+        mixture_sample, quota_sample, token_budget_sample,
     )
 
     docs = _read(spark, sf_dir, "documents") \
@@ -634,7 +640,15 @@ def q_stratified_sample(spark, sf_dir):
                          seed=11) \
         .select("doc_id", "lang", "source",
                 F.lit("mixture").alias("method"))
-    return quota.unionByName(mix).orderBy("method", "doc_id")
+    with_toks = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        whitespace_token_count(F.col("text")).alias("_nt"))
+    budget = token_budget_sample(with_toks, "lang", 5000, "_nt",
+                                 id_col="doc_id", seed=13) \
+        .select("doc_id", "lang", "source",
+                F.lit("budget").alias("method"))
+    return quota.unionByName(mix).unionByName(budget) \
+        .orderBy("method", "doc_id")
 
 
 def _mix_case_sql() -> str:
@@ -647,7 +661,7 @@ def _mix_case_sql() -> str:
             f"ELSE '{rate_threshold_hex(0.0)}' END")
 
 
-SQL_STRATIFIED_SAMPLE = f"""
+SQL_STRATIFIED_SAMPLE = rf"""
 WITH k AS (
   SELECT doc_id, lang, source,
          substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15) AS kq,
@@ -661,10 +675,24 @@ quota AS (
     FROM k) WHERE rn <= 40),
 mix AS (
   SELECT doc_id, lang, source FROM k
-  WHERE km < {_mix_case_sql()})
+  WHERE km < {_mix_case_sql()}),
+toks AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS nt,
+         substr(md5('13|' || CAST(doc_id AS VARCHAR)), 1, 15) AS kb
+  FROM documents),
+budget AS (
+  SELECT doc_id, lang, source FROM (
+    SELECT doc_id, lang, source,
+           coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY kb, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+    FROM toks) WHERE pre < 5000)
 SELECT doc_id, lang, source, 'quota' AS method FROM quota
 UNION ALL
 SELECT doc_id, lang, source, 'mixture' AS method FROM mix
+UNION ALL
+SELECT doc_id, lang, source, 'budget' AS method FROM budget
 ORDER BY method, doc_id
 """
 

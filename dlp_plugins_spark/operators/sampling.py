@@ -84,6 +84,69 @@ def mixture_sample(df: DataFrame, group_col: str, rates: dict[str, float],
     return df.filter(key < thr)
 
 
+def token_budget_sample(df: DataFrame, group_col: str, budget: int,
+                        token_col: str, id_col: str = "doc_id",
+                        seed: int = 42,
+                        prefilter_safety: float = 4.0) -> DataFrame:
+    """Keep each group's rows in (sample_key, id) order until the
+    group's TOKEN budget is exhausted: a row is kept iff the kept rows
+    BEFORE it total < ``budget`` tokens. The first row of a group is
+    always kept; overshoot is bounded by one document — the standard
+    mixing primitive when quotas are token-denominated ("20B tokens of
+    web per language"), SQL-replayable as a running-sum window.
+
+    Two-phase exactness (same argument as ``quota_sample``): the hash
+    prefilter keeps {key < thr}, which is a PREFIX of the ranking
+    order, so running sums over the kept rows equal the full-group
+    running sums row-for-row. The answer is exact unless a group
+    consumed its ENTIRE candidate prefix without exhausting the budget
+    while rows were prefiltered away (the budget might extend into the
+    excluded region) — those groups are detected by count and re-run
+    without the prefilter. Per-group sort cost is O(kept + safety
+    margin), independent of group size."""
+    out_cols = list(df.columns)
+    kdf = df.withColumn("_skey", _key_prefix(id_col, seed))
+    counts = kdf.groupBy(group_col).agg(
+        F.sum(token_col).alias("_gt"), F.count("*").alias("_gn"))
+    rate = F.when(F.col("_gt") <= 0, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0),
+                F.lit(float(budget) * prefilter_safety) / F.col("_gt")))
+    thr = F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(F.conv(
+                F.floor(rate * F.lit(float(16 ** KEY_HEX_LEN)))
+                .cast("string"), 10, 16)),
+            KEY_HEX_LEN, "0"))
+    counts = counts.withColumn("_thr", thr)
+
+    cand = kdf.join(F.broadcast(counts), on=group_col) \
+        .filter(F.col("_skey") < F.col("_thr"))
+    w_pre = Window.partitionBy(group_col).orderBy("_skey", id_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    with_pre = cand.withColumn(
+        "_pre", F.coalesce(F.sum(token_col).over(w_pre), F.lit(0)))
+    picked = with_pre.filter(F.col("_pre") < budget)
+
+    # a group is suspect iff it kept its WHOLE candidate prefix and the
+    # prefilter excluded rows; driver list bounded by distinct groups
+    got = picked.groupBy(group_col).agg(F.count("*").alias("_pn"))
+    n_cand = cand.groupBy(group_col).agg(F.count("*").alias("_cn"))
+    under = counts.join(n_cand, on=group_col, how="left") \
+        .join(got, on=group_col, how="left") \
+        .filter((F.coalesce(F.col("_pn"), F.lit(0))
+                 == F.coalesce(F.col("_cn"), F.lit(0)))
+                & (F.coalesce(F.col("_cn"), F.lit(0)) < F.col("_gn")))
+    under_groups = [r[0] for r in under.select(group_col).collect()]
+    if under_groups:
+        exact = kdf.filter(F.col(group_col).isin(under_groups)) \
+            .withColumn("_pre",
+                        F.coalesce(F.sum(token_col).over(w_pre), F.lit(0))) \
+            .filter(F.col("_pre") < budget)
+        return picked.filter(~F.col(group_col).isin(under_groups)) \
+            .select(*out_cols).unionByName(exact.select(*out_cols))
+    return picked.select(*out_cols)
+
+
 def quota_sample(df: DataFrame, group_col: str, n: int,
                  id_col: str = "doc_id", seed: int = 42,
                  prefilter_safety: float = 4.0) -> DataFrame:

@@ -96,3 +96,61 @@ def test_rate_threshold_quantization():
     assert rate_threshold_hex(2.0) == "g"
     half = rate_threshold_hex(0.5)
     assert len(half) == 15 and half.startswith("8")
+
+
+def _reference_budget(df, budget, seed):
+    w = (Window.partitionBy("grp").orderBy("_k", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (df.withColumn("_k", F.substring(sample_key("doc_id", seed),
+                                            1, 15))
+            .withColumn("_pre", F.coalesce(F.sum("toks").over(w),
+                                           F.lit(0)))
+            .filter(F.col("_pre") < budget).select("doc_id", "grp"))
+
+
+def _mkdf_tokens(spark):
+    rows = ([(i, "small", 10) for i in range(3)]
+            + [(100 + i, "mid", 50) for i in range(40)]
+            + [(1000 + i, "big", 100) for i in range(200)])
+    return spark.createDataFrame(rows, "doc_id long, grp string, toks long")
+
+
+def test_token_budget_matches_naive_window(spark):
+    from dlp_plugins_spark.operators.sampling import token_budget_sample
+
+    df = _mkdf_tokens(spark)
+    got = sorted((r.doc_id, r.grp)
+                 for r in token_budget_sample(df, "grp", 800, "toks",
+                                              seed=7).collect())
+    exp = sorted((r.doc_id, r.grp)
+                 for r in _reference_budget(df, 800, 7).collect())
+    assert got == exp
+    per_group = {}
+    for _, g in got:
+        per_group[g] = per_group.get(g, 0) + 1
+    # small: 30 tokens total, all kept; mid: 800/50 = 16 docs;
+    # big: 800/100 = 8 docs
+    assert per_group == {"small": 3, "mid": 16, "big": 8}
+
+
+def test_token_budget_underfill_fallback_exact(spark):
+    from dlp_plugins_spark.operators.sampling import token_budget_sample
+
+    df = _mkdf_tokens(spark)
+    got = sorted((r.doc_id, r.grp)
+                 for r in token_budget_sample(df, "grp", 800, "toks",
+                                              seed=7,
+                                              prefilter_safety=0.01)
+                 .collect())
+    exp = sorted((r.doc_id, r.grp)
+                 for r in _reference_budget(df, 800, 7).collect())
+    assert got == exp
+
+
+def test_token_budget_first_doc_always_kept(spark):
+    from dlp_plugins_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame([(1, "g", 5000), (2, "g", 5000)],
+                               "doc_id long, grp string, toks long")
+    out = token_budget_sample(df, "grp", 100, "toks")
+    assert out.count() == 1  # budget < first doc, but one doc is kept
