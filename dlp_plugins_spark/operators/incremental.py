@@ -163,9 +163,23 @@ class DedupCorpus:
     def compact(self, spark: SparkSession) -> None:
         """Fold merge-on-read deltas into base files on both tables —
         run on the same schedule a real deployment compacts any MOR
-        table (read cost grows with delta count, not corpus size)."""
+        table (read cost grows with delta count, not corpus size).
+        Both tables are insert-only (no tombstones), so the
+        fold-ordering constraint documented on ``LakeTable.compact``
+        is vacuous here — compaction may run at any point between
+        ingests."""
         self.corpus.compact(spark)
         self.index.compact(spark)
+
+    def maintain(self, spark: SparkSession,
+                 max_deltas_per_bucket: int = 8) -> None:
+        """Ingest-cadence maintenance: fold ONLY buckets whose DELTA
+        count crossed the threshold (cold buckets are never rewritten —
+        compaction IO tracks where appends actually land). Call after
+        every ingest; it no-ops until a bucket is crowded."""
+        for t in (self.corpus, self.index):
+            t.compact(spark, max_files_per_bucket=None,
+                      max_deltas_per_bucket=max_deltas_per_bucket)
 
     # -- ingest ---------------------------------------------------------------
 
@@ -175,27 +189,35 @@ class DedupCorpus:
         return minhash_band_rows(sig, "doc_id", self.num_perm, self.bands)
 
     def _append(self, survivors: DataFrame, batch_id: int,
-                bands_surv: DataFrame) -> None:
+                bands_surv: DataFrame, conflict_retries: int = 0) -> None:
         lsn = F.lit(batch_id).cast("long")
         corpus_batch = survivors.select(
             "doc_id", "text", lsn.alias("ingest_batch"),
             F.lit("I").alias("op"), lsn.alias("lsn"))
-        merge_batch(self.corpus, corpus_batch, [batch_id], mode="mor")
+        merge_batch(self.corpus, corpus_batch, [batch_id], mode="mor",
+                    conflict_retries=conflict_retries)
         index_batch = bands_surv.select(
             F.col("_band_idx").alias("band_idx"),
             F.col("_band_hash").alias("band_hash"), "doc_id",
             F.lit("I").alias("op"), lsn.alias("lsn"))
-        merge_batch(self.index, index_batch, [batch_id], mode="mor")
+        merge_batch(self.index, index_batch, [batch_id], mode="mor",
+                    conflict_retries=conflict_retries)
 
     def ingest(self, spark: SparkSession, new_docs: DataFrame,
-               batch_id: int, collect_stats: bool = True) -> IngestStats:
+               batch_id: int, collect_stats: bool = True,
+               conflict_retries: int = 2) -> IngestStats:
         """Dedup ``new_docs`` (``doc_id``, ``text``; ids unique and
         disjoint from prior batches — the CDC layer upstream owns id
         assignment) against the corpus and itself, then append the
         survivors and their band rows. Returns bounded count stats;
         ``collect_stats=False`` skips the three count jobs (stats come
         back -1) — the commit lineage still records written row counts,
-        so pipelines that only need the state can save the scans."""
+        so pipelines that only need the state can save the scans.
+        ``conflict_retries`` covers the one legitimate concurrent
+        writer: a maintenance compaction landing between this ingest's
+        snapshot read and its commit (dedup DECISIONS keep the
+        single-ingest-writer discipline; compaction does not change
+        state, so retrying the commit is always sound)."""
         new_docs = new_docs.select("doc_id", "text")
 
         if self.corpus.is_batch_applied(batch_id):
@@ -207,7 +229,8 @@ class DedupCorpus:
             survivors = self.corpus.read(spark, append_only=True) \
                 .filter(F.col("ingest_batch") == batch_id) \
                 .select("doc_id", "text").transform(_materialize)
-            self._append(survivors, batch_id, self._band_rows(survivors))
+            self._append(survivors, batch_id, self._band_rows(survivors),
+                         conflict_retries)
             n_surv = survivors.count()
             return IngestStats(batch_id, n_surv, 0, 0, n_surv,
                                recovered=True)
@@ -268,7 +291,7 @@ class DedupCorpus:
             .transform(_materialize)
         bands_surv = bands_new.join(survivors.select("doc_id"),
                                     on="doc_id", how="left_semi")
-        self._append(survivors, batch_id, bands_surv)
+        self._append(survivors, batch_id, bands_surv, conflict_retries)
 
         if not collect_stats:
             return IngestStats(batch_id, -1, -1, -1, -1)

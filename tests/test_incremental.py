@@ -146,3 +146,25 @@ def test_stream_ingest_dedup(spark, tmp_path, corpus):
     for d in [*range(5), *range(6, 10), *range(20, 30), 201]:
         assert d in surv
     assert len(surv) == 21
+
+
+def test_maintain_folds_deltas_and_preserves_state(spark, corpus):
+    for b in range(4):
+        corpus.ingest(spark, _docs_df(
+            spark, [(b * 10 + j, _doc(b * 10 + j)) for j in range(3)]),
+            batch_id=b)
+    before = sorted((r.doc_id, r.text, r.ingest_batch)
+                    for r in corpus.corpus_df(spark).collect())
+    n_delta_before = sum(
+        1 for f in corpus.corpus.current_snapshot().files if f.get("delta"))
+    assert n_delta_before >= 4
+    corpus.maintain(spark, max_deltas_per_bucket=2)
+    n_delta_after = sum(
+        1 for f in corpus.corpus.current_snapshot().files if f.get("delta"))
+    assert n_delta_after < n_delta_before
+    after = sorted((r.doc_id, r.text, r.ingest_batch)
+                   for r in corpus.corpus_df(spark).collect())
+    assert after == before
+    # ingest continues cleanly after maintenance
+    s = corpus.ingest(spark, _docs_df(spark, [(99, _doc(99))]), batch_id=9)
+    assert s.n_appended == 1
