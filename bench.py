@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "ngram_decontaminate",
     "corpus_pipeline",
     "repetition_quality",
+    "frequent_ngrams",
     "cdc_debezium_parse",
     "simhash_docs",
     "brute_force_topk",

@@ -112,6 +112,17 @@ def test_brute_force_topk_local_oracle(spark):
     assert _value_hash(spark_pdf) == _value_hash(duck_pdf)
 
 
+def test_frequent_ngrams_local_oracle(spark):
+    """frequent_ngrams sits below the driver's 50-query cap (the window
+    is full of oracle-backed operators), so its oracle runs here with
+    the IDENTICAL comparison the driver would apply."""
+    spark_pdf = E.q_frequent_ngrams(spark, SF_DIR).toPandas()
+    duck_pdf = _duck(E.SQL_FREQUENT_NGRAMS)
+    assert len(spark_pdf) == len(duck_pdf)
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    assert _value_hash(spark_pdf) == _value_hash(duck_pdf)
+
+
 def test_minhash_near_dup_pairs_local_oracle(spark):
     """minhash_near_dup_pairs was retired from the driver's 50-query
     window in favor of incremental_dedup, which composes the same

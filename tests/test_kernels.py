@@ -383,3 +383,21 @@ def test_hybrid_python_fallback_matches():
     k.fn._use_re2 = False  # simulate a call-time RE2 failure
     got = k.fn(vals.copy())
     assert (got == want).all()
+
+
+def test_top_ngrams_known_values(spark):
+    from dlp_plugins_spark.functions.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [("a b c a b c x", "g1"), ("a b c d", "g1"), ("z z z z", "g2")],
+        "text string, grp string")
+    out = {(r.ngram, r.n_occurrences, r.rank)
+           for r in top_ngrams(df, "text", n=3, k=2,
+                               min_count=2).collect()}
+    # 'a b c' occurs 3x (twice in doc1, once in doc2); 'z z z' 2x
+    assert out == {("a b c", 3, 1), ("z z z", 2, 2)}
+
+    per_grp = {(r.grp, r.ngram, r.rank)
+               for r in top_ngrams(df, "text", n=3, k=1, group_col="grp",
+                                   min_count=1).collect()}
+    assert per_grp == {("g1", "a b c", 1), ("g2", "z z z", 1)}
