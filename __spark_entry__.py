@@ -3,10 +3,10 @@
 ``entry(spark)`` — flagship: DLP redaction pipeline over sf0.001 docs.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 incl.
 §2.7 engine-added ops + the training-data-pipeline operators); each
-callable (spark, sf_dir) -> DF. 56 entries: 50 oracle-backed FIRST
+callable (spark, sf_dir) -> DF. 58 entries: 50 oracle-backed FIRST
 (the correctness driver runs at most 50 queries, so ordering is
 attestation-load-bearing — asserted by tests/test_entry_oracle.py::
-test_oracle_queries_fit_driver_cap), then the 6 below-cap ones.
+test_oracle_queries_fit_driver_cap), then the 8 below-cap ones.
 Near-duplicate attestations are consolidated into multi-column queries
 so every oracle-backed operator gets a driver-green CORRECTNESS row;
 char_ngram_jaccard's standalone entry was retired in favor of
@@ -27,12 +27,13 @@ near-dups, lang-ID), persisted-binlog replication (CDC replay + schema
 evolution), aggregate round-trip invariants (FPE / deterministic
 encryption), the portable context-keyed date shift, and the composed
 corpus_pipeline (quality -> paragraph dedup -> minhash dedup ->
-decontaminate in one chained plan). Of the 6 below-cap queries, 5 are
+decontaminate in one chained plan). Of the 8 below-cap queries, 6 are
 genuinely non-SQL-expressible (simhash signatures, approximate ANN
-top-k) — the driver records rows-only checks for those; their real
-verification lives in tests/ (recall gates, known values). The sixth
-(brute_force_topk) is SQL-expressible but retired from the window; it
-keeps an identical local oracle gate in tests/test_entry_oracle.py.
+top-k incl. the persisted index) — their real verification lives in
+tests/ (recall gates, known values, persisted==in-memory equality);
+the other 2 (brute_force_topk — retired from the window —
+and frequent_ngrams — born below it) are SQL-expressible and keep
+identical local oracle gates in tests/test_entry_oracle.py.
 """
 
 from __future__ import annotations
@@ -2433,6 +2434,32 @@ def q_ann_topk_lsh(spark, sf_dir):
     return S.ann_topk(emb, queries, dim=64, k=5, bits=6, n_tables=8)
 
 
+def q_ann_topk_persisted(spark, sf_dir):
+    """Persisted incrementally-built SRP ANN index
+    (operators/ann_index.py AnnIndex): the corpus lands in TWO add
+    batches into a throwaway lake-backed index, then 4 queries probe
+    it. Deterministic end-to-end (shared hyperplanes, exact-cosine
+    re-rank, rounded scores, (cosine DESC, id) ranking), and
+    test-asserted EQUAL to the in-memory ann_topk over the union
+    (tests/test_ann_index.py), which carries the recall gates.
+    Rows-only for the driver (approximate by design, like the other
+    ANN entries)."""
+    from dlp_plugins_spark.operators.ann_index import AnnIndex
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>")
+        .alias("embedding"))
+    tdir = tempfile.mkdtemp(prefix="entry_ann_idx_")
+    idx = AnnIndex.create(os.path.join(tdir, "ann"), dim=64, bits=8,
+                          n_tables=4, n_buckets=8)
+    idx.add(spark, emb.filter(F.col("vec_id") % 2 == 0), 0)
+    idx.add(spark, emb.filter(F.col("vec_id") % 2 == 1), 1)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return idx.query(spark, queries, k=5) \
+        .orderBy("query_id", "rank")
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF ANN (k-means inverted lists, n_probe nearest lists probed) —
     the trained-quantizer scale path next to LSH."""
@@ -2631,6 +2658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_persisted": q_ann_topk_persisted,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_distributed": q_ann_topk_ivf_distributed,
     }

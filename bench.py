@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "semantic_dedup",
     "ann_topk_lsh",
+    "ann_topk_persisted",
     "ann_topk_ivf",
     "ann_topk_ivf_distributed",
     "media_features",

@@ -1,0 +1,171 @@
+"""Persisted, incrementally-updatable ANN index (SRP-bucketed).
+
+``operators/similarity.py ann_topk`` answers "search THIS DataFrame" —
+it re-buckets the whole corpus per query job. A serving corpus that
+grows by ingest batches needs the similarity twin of
+``operators/incremental.DedupCorpus``: a **persisted bucket index**
+advanced batch-at-a-time, so adding vectors costs O(batch) and a query
+touches only its probed buckets.
+
+Layout: ONE lake table ``(tbl, bkt, vec_id, embedding)`` keyed on
+(tbl, bkt, vec_id) — the vector is stored per (table, bucket) row,
+i.e. duplicated ``n_tables`` times. That is a deliberate
+storage-for-latency trade (the FAISS-IVF layout generalized to
+multi-table SRP): queries go probe-join -> exact-cosine re-rank with
+ZERO additional joins, where a normalized two-table layout would
+re-join every candidate row against a vectors table per query. The
+lake writes each bucket file sorted by key (tbl, bkt leading), so
+parquet row-group min/max stats prune a probe's scan to the probed
+(tbl, bkt) ranges.
+
+Exactly-once adds: batch ids + applied-LSN ranges via the same
+``merge_batch(mode='mor')`` path as every ledger table — a replayed
+add recomputes its (deterministic) bucket rows and the merge
+early-returns; no dedup-style recovery special case is needed because
+adding vectors makes no decisions against existing state. The table is
+insert-only with unique keys, so reads take the shuffle-free
+``append_only`` path; ``maintain()`` folds crowded buckets' deltas.
+
+Query cost at scale: the exploded probe set (n_queries x n_tables x
+(1+bits) rows) broadcasts; the index streams through the hash join
+with no shuffle; candidates dedup + window per query id. Recall
+characteristics are identical to ``ann_topk`` (same hyperplanes, same
+multiprobe) — asserted by an equivalence test, not re-derived.
+
+Reference scope: no reference counterpart (the reference has no
+similarity path) — brief-scope, training-data-pipeline family.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.window import Window
+
+from dlp_plugins_spark.cdc.lake import LakeTable
+from dlp_plugins_spark.cdc.merge import merge_batch
+from dlp_plugins_spark.operators.similarity import (
+    add_srp_buckets,
+    cosine_expr,
+)
+
+PARAMS_FILE = "ann_params.json"
+
+INDEX_SCHEMA = T.StructType([
+    T.StructField("tbl", T.IntegerType()),
+    T.StructField("bkt", T.IntegerType()),
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.DoubleType())),
+])
+
+
+class AnnIndex:
+    """Persisted SRP ANN index over ``(vec_id, embedding)`` corpora.
+    See the module docstring for layout and cost shape."""
+
+    def __init__(self, path: str, table: LakeTable, params: dict):
+        self.path = path
+        self.table = table
+        self.dim = int(params["dim"])
+        self.bits = int(params["bits"])
+        self.n_tables = int(params["n_tables"])
+        self.seed = int(params["seed"])
+
+    @classmethod
+    def create(cls, path: str, dim: int, *, bits: int = 8,
+               n_tables: int = 4, seed: int = 42,
+               n_buckets: int = 16) -> "AnnIndex":
+        params = {"dim": dim, "bits": bits, "n_tables": n_tables,
+                  "seed": seed}
+        table = LakeTable.create(os.path.join(path, "srp_index"),
+                                 INDEX_SCHEMA, ["tbl", "bkt", "vec_id"],
+                                 n_buckets)
+        with open(os.path.join(path, PARAMS_FILE), "w") as fh:
+            json.dump(params, fh)
+        return cls(path, table, params)
+
+    @classmethod
+    def load(cls, path: str) -> "AnnIndex":
+        with open(os.path.join(path, PARAMS_FILE)) as fh:
+            params = json.load(fh)
+        return cls(path, LakeTable.load(os.path.join(path, "srp_index")),
+                   params)
+
+    # -- writes ---------------------------------------------------------------
+
+    def _bucket_rows(self, vecs: DataFrame) -> DataFrame:
+        b = add_srp_buckets(vecs, self.dim, "embedding", self.bits,
+                            self.n_tables, self.seed)
+        return b.select(
+            F.col("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.posexplode("_buckets").alias("tbl", "bkt"),
+        ).select("tbl", "bkt", "vec_id", "embedding")
+
+    def add(self, spark: SparkSession, vecs: DataFrame, batch_id: int,
+            conflict_retries: int = 2) -> None:
+        """Index a batch of ``(vec_id, embedding)`` rows (ids unique
+        across batches — upstream owns id assignment). Exactly-once:
+        a replayed batch id early-returns inside ``merge_batch``."""
+        lsn = F.lit(batch_id).cast("long")
+        rows = self._bucket_rows(vecs.select("vec_id", "embedding")) \
+            .select("tbl", "bkt", "vec_id", "embedding",
+                    F.lit("I").alias("op"), lsn.alias("lsn"))
+        merge_batch(self.table, rows, [batch_id], mode="mor",
+                    conflict_retries=conflict_retries)
+
+    def maintain(self, spark: SparkSession,
+                 max_deltas_per_bucket: int = 8) -> None:
+        self.table.compact(spark, max_files_per_bucket=None,
+                           max_deltas_per_bucket=max_deltas_per_bucket)
+
+    # -- reads ----------------------------------------------------------------
+
+    def index_df(self, spark: SparkSession) -> DataFrame:
+        return self.table.read(spark, append_only=True) \
+            .select("tbl", "bkt", "vec_id", "embedding")
+
+    def query(self, spark: SparkSession, queries: DataFrame, k: int = 10,
+              query_id_col: str = "query_id",
+              multiprobe: bool = True) -> DataFrame:
+        """Approximate top-k against the PERSISTED index — same probe
+        discipline as ``similarity.ann_topk`` (shared hyperplanes via
+        ``add_srp_buckets``): candidates share an SRP bucket in >= 1
+        table (plus Hamming-1 multiprobes), exact-cosine re-rank on
+        candidates only. Returns (query_id, neighbor_id, cosine,
+        rank)."""
+        q = add_srp_buckets(queries, self.dim, "embedding", self.bits,
+                            self.n_tables, self.seed)
+        q = q.select(
+            F.col(query_id_col),
+            F.col("embedding").cast("array<double>").alias("_qvec"),
+            F.posexplode("_buckets").alias("tbl", "_bkt0"),
+        )
+        if multiprobe:
+            probe_set = F.array(
+                F.col("_bkt0"),
+                *[F.col("_bkt0").bitwiseXOR(F.lit(1 << i))
+                  for i in range(self.bits)],
+            )
+        else:
+            probe_set = F.array(F.col("_bkt0"))
+        q = q.select(query_id_col, "_qvec", "tbl",
+                     F.explode(probe_set).alias("bkt"))
+        cands = (
+            self.index_df(spark)
+            .join(F.broadcast(q), on=["tbl", "bkt"])
+            .select(query_id_col, F.col("vec_id").alias("neighbor_id"),
+                    "embedding", "_qvec")
+            .dropDuplicates([query_id_col, "neighbor_id"])
+        )
+        scored = cands.select(
+            query_id_col, "neighbor_id",
+            F.round(cosine_expr(F.col("embedding"), F.col("_qvec")), 6)
+            .alias("cosine"),
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("cosine"), F.asc("neighbor_id"))
+        return scored.withColumn("rank", F.row_number().over(w)) \
+            .filter(F.col("rank") <= k)

@@ -1,0 +1,59 @@
+"""Persisted SRP ANN index (operators/ann_index.py): equivalence with
+the in-memory ann_topk path, exactly-once adds, and maintenance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlp_plugins_spark.operators.ann_index import AnnIndex
+from dlp_plugins_spark.operators.similarity import ann_topk
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id",
+                    F.col("embedding").cast("array<double>")
+                    .alias("embedding")))
+
+
+def _rows(df):
+    return sorted((r.query_id, r.neighbor_id, r.cosine, r.rank)
+                  for r in df.collect())
+
+
+def test_persisted_equals_inmemory(spark, tmp_path, emb):
+    """An index built in TWO adds must answer exactly like ann_topk
+    over the union — same hyperplanes, same probes, same re-rank."""
+    idx = AnnIndex.create(str(tmp_path / "ann"), DIM, bits=8, n_tables=4,
+                          n_buckets=4)
+    b0 = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 2 == 1)
+    idx.add(spark, b0, 0)
+    idx.add(spark, b1, 1)
+
+    queries = emb.filter(F.col("vec_id") < 4) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = _rows(idx.query(spark, queries, k=5))
+    exp = _rows(ann_topk(emb, queries, DIM, k=5, bits=8, n_tables=4))
+    assert got == exp and len(got) > 0
+
+
+def test_readd_idempotent_and_maintain(spark, tmp_path, emb):
+    idx = AnnIndex.create(str(tmp_path / "ann2"), DIM, n_buckets=4)
+    b0 = emb.filter(F.col("vec_id") % 2 == 0)
+    idx.add(spark, b0, 0)
+    n = idx.index_df(spark).count()
+    queries = emb.filter(F.col("vec_id") < 2) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    before = _rows(idx.query(spark, queries, k=5))
+
+    idx.add(spark, b0, 0)                      # replay: exactly-once
+    assert idx.index_df(spark).count() == n
+    idx.add(spark, emb.filter(F.col("vec_id") % 2 == 1), 1)
+    idx.maintain(spark, max_deltas_per_bucket=1)
+    after_all = _rows(idx.query(spark, queries, k=5))
+    exp = _rows(ann_topk(emb, queries, DIM, k=5))
+    assert after_all == exp
+    assert len(before) > 0
