@@ -3,10 +3,10 @@
 ``entry(spark)`` — flagship: DLP redaction pipeline over sf0.001 docs.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 incl.
 §2.7 engine-added ops + the training-data-pipeline operators); each
-callable (spark, sf_dir) -> DF. 58 entries: 50 oracle-backed FIRST
+callable (spark, sf_dir) -> DF. 59 entries: 50 oracle-backed FIRST
 (the correctness driver runs at most 50 queries, so ordering is
 attestation-load-bearing — asserted by tests/test_entry_oracle.py::
-test_oracle_queries_fit_driver_cap), then the 8 below-cap ones.
+test_oracle_queries_fit_driver_cap), then the 9 below-cap ones.
 Near-duplicate attestations are consolidated into multi-column queries
 so every oracle-backed operator gets a driver-green CORRECTNESS row;
 char_ngram_jaccard's standalone entry was retired in favor of
@@ -27,13 +27,14 @@ near-dups, lang-ID), persisted-binlog replication (CDC replay + schema
 evolution), aggregate round-trip invariants (FPE / deterministic
 encryption), the portable context-keyed date shift, and the composed
 corpus_pipeline (quality -> paragraph dedup -> minhash dedup ->
-decontaminate in one chained plan). Of the 8 below-cap queries, 6 are
+decontaminate in one chained plan). Of the 9 below-cap queries, 6 are
 genuinely non-SQL-expressible (simhash signatures, approximate ANN
 top-k incl. the persisted index) — their real verification lives in
 tests/ (recall gates, known values, persisted==in-memory equality);
-the other 2 (brute_force_topk — retired from the window —
-and frequent_ngrams — born below it) are SQL-expressible and keep
-identical local oracle gates in tests/test_entry_oracle.py.
+the other 3 (brute_force_topk — retired from the window —
+frequent_ngrams and cdc_patch_state — born below it) are
+SQL-expressible and keep identical local oracle gates in
+tests/test_entry_oracle.py.
 """
 
 from __future__ import annotations
@@ -2231,6 +2232,70 @@ def q_corpus_pipeline(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# deterministic sparse-update ledger (60 events, 7 keys): partial
+# updates (None = unchanged, the Postgres-TOAST/Debezium placeholder),
+# deletes, and post-delete partial re-inserts — one literal list feeds
+# Spark AND the generated SQL VALUES
+_PATCH_LEDGER = [
+    (
+        lsn % 7,
+        lsn * 3 if lsn % 3 else None,
+        f"s{lsn}" if lsn % 2 else None,
+        "D" if lsn % 17 == 0 else ("U" if lsn % 5 else "I"),
+        lsn,
+    )
+    for lsn in range(1, 61)
+]
+
+
+def q_cdc_patch_state(spark, sf_dir):
+    """Sparse-update (patch) CDC fold (cdc/patch.py): per-column
+    last-non-null resolution with delete fencing, over a fixed
+    60-event ledger with TOAST-style partial images. Below the
+    driver's 50-query cap; the IDENTICAL DuckDB gate (a window replay
+    with last_value IGNORE NULLS) runs locally in
+    tests/test_entry_oracle.py::test_cdc_patch_state_local_oracle.
+    The lake round-trip, exactly-once replay, and randomized pandas
+    oracle live in tests/test_patch.py."""
+    from dlp_plugins_spark.cdc.patch import fold_patch_events
+
+    ev = spark.createDataFrame(
+        _PATCH_LEDGER, "k long, x long, y string, op string, lsn long")
+    return fold_patch_events(ev, ["k"], ["x", "y"]).orderBy("k")
+
+
+def _patch_values_sql() -> str:
+    def cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return f"'{v}'"
+        return str(v)
+    return ",\n  ".join(
+        "(" + ", ".join(cell(v) for v in row) + ")"
+        for row in _PATCH_LEDGER
+    )
+
+
+SQL_CDC_PATCH_STATE = f"""
+WITH ev(k, x, y, op, lsn) AS (VALUES
+  {_patch_values_sql()}),
+fence AS (
+  SELECT k, coalesce(max(lsn) FILTER (WHERE op = 'D'), -1) AS f
+  FROM ev GROUP BY k),
+alive AS (
+  SELECT ev.* FROM ev JOIN fence USING (k)
+  WHERE lsn > f AND op <> 'D')
+SELECT DISTINCT k,
+  last_value(x IGNORE NULLS) OVER (PARTITION BY k ORDER BY lsn
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS x,
+  last_value(y IGNORE NULLS) OVER (PARTITION BY k ORDER BY lsn
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS y,
+  max(lsn) OVER (PARTITION BY k) AS _lsn
+FROM alive ORDER BY k
+"""
+
+
 def q_frequent_ngrams(spark, sf_dir):
     """Exact heavy-hitter corpus statistics: top-15 word trigrams per
     language at min_count >= 3, deterministic (count DESC, ngram ASC)
@@ -2655,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the window is full — with the identical local oracle gate
         "brute_force_topk": q_brute_force_topk,
         "frequent_ngrams": q_frequent_ngrams,
+        "cdc_patch_state": q_cdc_patch_state,
         "simhash_docs": q_simhash_docs,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_topk_lsh": q_ann_topk_lsh,

@@ -112,6 +112,18 @@ def test_brute_force_topk_local_oracle(spark):
     assert _value_hash(spark_pdf) == _value_hash(duck_pdf)
 
 
+def test_cdc_patch_state_local_oracle(spark):
+    """cdc_patch_state (sparse-update per-column fold) sits below the
+    driver's 50-query cap; the IDENTICAL comparison the driver would
+    apply runs here, with DuckDB replaying the fold as a
+    last_value-IGNORE-NULLS window over the same literal ledger."""
+    spark_pdf = E.q_cdc_patch_state(spark, SF_DIR).toPandas()
+    duck_pdf = _duck(E.SQL_CDC_PATCH_STATE)
+    assert len(spark_pdf) == len(duck_pdf)
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    assert _value_hash(spark_pdf) == _value_hash(duck_pdf)
+
+
 def test_frequent_ngrams_local_oracle(spark):
     """frequent_ngrams sits below the driver's 50-query cap (the window
     is full of oracle-backed operators), so its oracle runs here with

@@ -1,0 +1,111 @@
+"""Sparse-update (patch) CDC semantics (cdc/patch.py): per-column
+last-non-null fold, delete fencing, lake round-trip with exactly-once,
+and a randomized pandas-oracle replay."""
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from dlp_plugins_spark.cdc.lake import LakeTable
+from dlp_plugins_spark.cdc.patch import apply_patch_batch, fold_patch_events
+
+SCHEMA = "k long, x long, y string, op string, lsn long"
+
+PAYLOAD = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.StringType()),
+])
+
+
+def test_fold_patch_known_values(spark):
+    events = spark.createDataFrame([
+        # key 1: partial update leaves y from the insert
+        (1, 1, "a", "I", 1),
+        (1, 2, None, "U", 2),
+        # key 2: delete fences pre-delete values; partial re-insert
+        # must NOT resurrect x=5
+        (2, 5, "b", "I", 1),
+        (2, None, None, "D", 3),
+        (2, None, "z", "U", 5),
+        # key 3: delete is the last word
+        (3, 7, "c", "I", 2),
+        (3, None, None, "D", 9),
+    ], SCHEMA)
+    got = {r.k: (r.x, r.y, r._lsn)
+           for r in fold_patch_events(events, ["k"], ["x", "y"]).collect()}
+    assert got == {1: (2, "a", 2), 2: (None, "z", 5)}
+
+
+def test_patch_differs_from_whole_row_lww(spark):
+    """The semantic point: whole-row LWW would null y for key 1."""
+    events = spark.createDataFrame(
+        [(1, 1, "a", "I", 1), (1, 2, None, "U", 2)], SCHEMA)
+    patch = fold_patch_events(events, ["k"], ["x", "y"]).collect()[0]
+    lww = events.groupBy("k").agg(
+        F.max_by(F.struct("x", "y"), "lsn").alias("w")).collect()[0]
+    assert patch.y == "a" and lww.w.y is None
+
+
+def test_apply_patch_batch_lake_roundtrip(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), PAYLOAD, ["k"], n_buckets=4)
+    b1 = spark.createDataFrame([
+        (1, 10, "ten", "I", 1),
+        (2, 20, "twenty", "I", 2),
+    ], SCHEMA).withColumn("batch_id", F.lit(0))
+    assert apply_patch_batch(t, b1, [0]) is not None
+
+    # batch 2: TOAST-style partial update of key 1 (y omitted), delete
+    # of key 2, partial re-insert of key 2 (x omitted)
+    b2 = spark.createDataFrame([
+        (1, 11, None, "U", 10),
+        (2, None, None, "D", 11),
+        (2, None, "re", "U", 12),
+    ], SCHEMA).withColumn("batch_id", F.lit(1))
+    assert apply_patch_batch(t, b2, [1]) is not None
+    state = {r.k: (r.x, r.y, r._lsn) for r in t.read(spark).collect()}
+    # y='ten' preserved across the BATCH boundary; x of key 2 fenced
+    assert state == {1: (11, "ten", 10), 2: (None, "re", 12)}
+
+    # exactly-once: replaying batch 2 is a no-op
+    sid = t.current_snapshot().snapshot_id
+    assert apply_patch_batch(t, b2, [1]) is None
+    assert t.current_snapshot().snapshot_id == sid
+    assert {r.k: (r.x, r.y, r._lsn)
+            for r in t.read(spark).collect()} == state
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_patch_matches_pandas_oracle(spark, seed):
+    rng = random.Random(seed)
+    rows = []
+    for lsn in range(1, 120):
+        k = rng.randrange(8)
+        op = rng.choice(["I", "U", "U", "U", "D"])
+        x = rng.randrange(100) if op != "D" and rng.random() < 0.6 else None
+        y = (f"s{rng.randrange(100)}"
+             if op != "D" and rng.random() < 0.6 else None)
+        rows.append((k, x, y, op, lsn))
+    events = spark.createDataFrame(rows, SCHEMA)
+    got = {r.k: (r.x, r.y, r._lsn)
+           for r in fold_patch_events(events, ["k"], ["x", "y"]).collect()}
+
+    pdf = pd.DataFrame(rows, columns=["k", "x", "y", "op", "lsn"])
+    exp = {}
+    for k, g in pdf.groupby("k"):
+        g = g.sort_values("lsn")
+        dels = g[g.op == "D"]
+        fence = int(dels.lsn.max()) if len(dels) else -1
+        alive = g[(g.lsn > fence) & (g.op != "D")]
+        if not len(alive):
+            continue
+        xv = alive.x.dropna()
+        yv = alive.y.dropna()
+        exp[k] = (
+            int(xv.iloc[-1]) if len(xv) else None,
+            yv.iloc[-1] if len(yv) else None,
+            int(alive.lsn.max()),
+        )
+    assert got == exp
