@@ -34,6 +34,13 @@ Trade-off vs ``merge_batch``: this path reads current state per batch
 (merge-on-write only) and costs one window+agg over touched keys —
 use it for streams KNOWN to carry partial images; full-image streams
 keep the cheaper whole-row LWW paths.
+
+Cross-batch ordering: batches must apply in LSN order (the
+merge-on-write contract of ``cdc/merge.py``) — a delete's fence
+leaves the stored state with the key, so a later-applied LOWER-LSN
+update would resurrect a deleted key. Within that contract, per-column
+resolution is order-tolerant: a late older write only fills columns no
+newer write touched.
 """
 
 from __future__ import annotations

@@ -249,3 +249,55 @@ def stream_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_patch_replay(
+    spark: SparkSession,
+    table: LakeTable,
+    segment_dir: str,
+    checkpoint_dir: str,
+    event_schema,
+    max_files_per_trigger: int = 4,
+    batch_id_base: int = 0,
+):
+    """Streaming tail with SPARSE-UPDATE (patch) semantics
+    (``cdc/patch.py``): for sources whose update images omit unchanged
+    columns (Postgres TOAST via Debezium), where the whole-row LWW
+    tails above would null untouched columns.
+
+    Exactly-once: ``batch_id_base + epoch_id`` is the ingest batch id.
+    Unlike the LWW tails — which must NOT use batch-level ids because
+    merge-on-write/read can't re-read per-row history — epoch ids ARE
+    the delivery unit here (stable under retry while the checkpoint is
+    retained), and ``apply_patch_batch`` additionally row-filters
+    against applied LSN ranges, so a replayed or re-chunked segment is
+    dropped before any write. As with ``stream_ingest_dedup``, the
+    checkpoint is part of the table's durable state: discarding it
+    requires a fresh ``batch_id_base`` above all applied ids.
+
+    Ordering: per-COLUMN resolution is order-tolerant (a late older
+    write only fills columns no newer write touched — max_by on LSN
+    arbitrates), but DELETES inherit merge-on-write's constraint:
+    once a delete's batch applies, the key and its fence leave the
+    stored state, so a later-arriving LOWER-LSN update would resurrect
+    it. Batches must therefore apply in LSN order — exactly the
+    documented mow contract (`cdc/merge.py`), which an in-order file
+    tail satisfies."""
+    def apply_micro_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from dlp_plugins_spark.cdc.patch import apply_patch_batch
+
+        if batch_df.isEmpty():
+            return
+        apply_patch_batch(table, batch_df,
+                          [batch_id_base + int(epoch_id)])
+
+    return (
+        spark.readStream.schema(event_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(segment_dir)
+        .writeStream
+        .foreachBatch(apply_micro_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -109,3 +109,44 @@ def test_patch_matches_pandas_oracle(spark, seed):
             int(alive.lsn.max()),
         )
     assert got == exp
+
+
+def test_stream_patch_equals_batch(spark, tmp_path):
+    """The patch streaming tail must land the same final state as
+    in-order batch application of the same segments."""
+    from dlp_plugins_spark.streaming.tail import stream_patch_replay
+
+    segs = [
+        [(k, k * 10, f"v{k}", "I", k + 1) for k in range(10)],
+        [(k, k * 10 + 1, None, "U", 11 + k) for k in range(10)],
+        [(0, None, None, "D", 21), (0, None, "re0", "U", 22),
+         (5, None, "y5", "U", 23)],
+    ]
+    seg_dir = str(tmp_path / "segs")
+    for rows in segs:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(seg_dir)
+
+    t_b = LakeTable.create(str(tmp_path / "tb"), PAYLOAD, ["k"],
+                           n_buckets=4)
+    for i, rows in enumerate(segs):
+        apply_patch_batch(t_b, spark.createDataFrame(rows, SCHEMA), [i])
+
+    t_s = LakeTable.create(str(tmp_path / "ts"), PAYLOAD, ["k"],
+                           n_buckets=4)
+    ev_schema = spark.createDataFrame([], SCHEMA).schema
+    q = stream_patch_replay(spark, t_s, seg_dir,
+                            str(tmp_path / "ckpt"), ev_schema,
+                            max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+
+    batch_state = sorted((r.k, r.x, r.y, r._lsn)
+                         for r in t_b.read(spark).collect())
+    stream_state = sorted((r.k, r.x, r.y, r._lsn)
+                          for r in t_s.read(spark).collect())
+    assert stream_state == batch_state
+    # spot-check the semantics themselves
+    d = {k: (x, y) for k, x, y, _ in batch_state}
+    assert d[5] == (51, "y5")      # x from seg2, y from seg3
+    assert d[0] == (None, "re0")   # fence erased pre-delete x
