@@ -176,3 +176,73 @@ def test_coalesce_ranges_exact_cover(pairs):
     assert out_covered == covered
     for (a_lo, a_hi), (b_lo, b_hi) in zip(out, out[1:]):
         assert a_hi + 1 < b_lo  # sorted, disjoint, non-adjacent
+
+
+# ---------------------------------------------------------------------------
+# sampling exactness properties (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(st.integers(0, 400), min_size=1, max_size=4),
+    st.integers(1, 25),
+    st.floats(0.05, 6.0),
+    st.integers(0, 99),
+)
+@settings(max_examples=12, deadline=None)
+def test_quota_sample_exact_for_any_safety(spark, sizes, n, safety, seed):
+    """The two-phase quota trim equals the naive full window for ANY
+    prefilter safety — including ones small enough to force the
+    underfill fallback on every group."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dlp_plugins_spark.operators.sampling import (
+        quota_sample, sample_key,
+    )
+
+    rows = [(g * 100_000 + i, f"g{g}")
+            for g, sz in enumerate(sizes) for i in range(sz)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = sorted(r.doc_id for r in quota_sample(
+        df, "grp", n, seed=seed, prefilter_safety=safety).collect())
+    w = Window.partitionBy("grp").orderBy("_k", "doc_id")
+    exp = sorted(
+        r.doc_id for r in df
+        .withColumn("_k", F.substring(sample_key("doc_id", seed), 1, 15))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n).collect())
+    assert got == exp
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500)),
+             min_size=1, max_size=60),
+    st.integers(1, 3000),
+    st.floats(0.05, 6.0),
+    st.integers(0, 99),
+)
+@settings(max_examples=12, deadline=None)
+def test_token_budget_exact_for_any_safety(spark, docs, budget, safety,
+                                           seed):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dlp_plugins_spark.operators.sampling import (
+        sample_key, token_budget_sample,
+    )
+
+    rows = [(i, f"g{g}", t) for i, (g, t) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, toks long")
+    got = sorted(r.doc_id for r in token_budget_sample(
+        df, "grp", budget, "toks", seed=seed,
+        prefilter_safety=safety).collect())
+    w = (Window.partitionBy("grp").orderBy("_k", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    exp = sorted(
+        r.doc_id for r in df
+        .withColumn("_k", F.substring(sample_key("doc_id", seed), 1, 15))
+        .withColumn("_pre", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+        .filter(F.col("_pre") < budget).collect())
+    assert got == exp
