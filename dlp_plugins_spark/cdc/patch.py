@@ -97,9 +97,9 @@ def apply_patch_batch(
     if batch_ids and all(table.is_batch_applied(b, snap)
                          for b in batch_ids):
         return None
+    import pyspark.sql.types as T
+
     key_cols = table.key_cols
-    payload_cols = [f.name for f in snap.schema().fields
-                    if f.name not in (*key_cols, "_lsn")]
 
     fresh = batch.filter(table.applied_filter(snap)).withColumn(
         "_bucket", key_bucket_expr(key_cols, table.n_buckets))
@@ -110,11 +110,37 @@ def apply_patch_batch(
         return None
     touched = sorted(stats["buckets"])
 
-    current = table.read(spark, buckets=touched, snapshot=snap).select(
-        *key_cols, *payload_cols,
-        F.col("_lsn").alias(LSN_COL), F.lit("I").alias(OP_COL))
-    events = fresh.select(*key_cols, *payload_cols, LSN_COL, OP_COL) \
-        .unionByName(current)
+    # additive schema evolution (same rule as merge_batch): new nullable
+    # payload columns in the batch are adopted; existing rows read back
+    # as null — which patch semantics then treat as "never written",
+    # exactly right for a column that did not exist before
+    table_schema = snap.schema()
+    table_cols = set(table_schema.fieldNames())
+    new_fields = [
+        T.StructField(f.name, f.dataType, True)
+        for f in batch.schema.fields
+        if f.name not in (OP_COL, "batch_id", "_bucket", LSN_COL)
+        and f.name not in table_cols
+    ]
+    evolved = T.StructType(table_schema.fields + new_fields)
+    payload_cols = [f.name for f in evolved.fields
+                    if f.name not in (*key_cols, "_lsn")]
+    batch_cols = set(fresh.columns)
+
+    def _sel(df, have: set):
+        return df.select(
+            *key_cols,
+            *[(F.col(c) if c in have
+               else F.lit(None).cast(dict(
+                   (f.name, f.dataType) for f in evolved.fields)[c]))
+              .alias(c) for c in payload_cols],
+            LSN_COL, OP_COL)
+
+    current = table.read(spark, buckets=touched, snapshot=snap) \
+        .withColumn(OP_COL, F.lit("I")) \
+        .withColumnRenamed("_lsn", LSN_COL)
+    current = _sel(current, set(current.columns))
+    events = _sel(fresh, batch_cols).unionByName(current)
     folded = fold_patch_events(events, key_cols, payload_cols) \
         .withColumn("_bucket", key_bucket_expr(key_cols, table.n_buckets))
     new_snap = table.commit_merge(
@@ -122,7 +148,7 @@ def apply_patch_batch(
         touched_buckets=touched,
         lsn_range=(int(stats["lo"]), int(stats["hi"])),
         batch_ids=batch_ids,
-        schema=snap.schema(),
+        schema=evolved,
         lineage_extra={"merge_path": "patch"},
         expected_parent=snap.snapshot_id,
     )

@@ -150,3 +150,23 @@ def test_stream_patch_equals_batch(spark, tmp_path):
     d = {k: (x, y) for k, x, y, _ in batch_state}
     assert d[5] == (51, "y5")      # x from seg2, y from seg3
     assert d[0] == (None, "re0")   # fence erased pre-delete x
+
+
+def test_patch_schema_evolution(spark, tmp_path):
+    """A batch carrying a NEW nullable column is adopted additively;
+    pre-existing rows read back null for it — which patch semantics
+    treat as never-written, so later partial updates fill it without
+    touching other columns."""
+    t = LakeTable.create(str(tmp_path / "t"), PAYLOAD, ["k"], n_buckets=4)
+    b1 = spark.createDataFrame(
+        [(1, 1, "a", "I", 1), (2, 2, "b", "I", 2)], SCHEMA)
+    apply_patch_batch(t, b1, [0])
+
+    b2 = spark.createDataFrame(
+        [(1, None, None, "fr", "U", 10)],
+        "k long, x long, y string, lang string, op string, lsn long")
+    apply_patch_batch(t, b2, [1])
+
+    state = {r.k: (r.x, r.y, r.lang, r._lsn)
+             for r in t.read(spark).collect()}
+    assert state == {1: (1, "a", "fr", 10), 2: (2, "b", None, 2)}
