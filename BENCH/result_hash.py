@@ -1,0 +1,61 @@
+"""Result-equivalence checker for the optimization round: run named
+declared queries at a given SF and print a stable sha256 over the
+sorted collected rows (schema + values). Used to prove a rewritten
+query computes EXACTLY what it computed before (run on the old tree,
+run on the new tree, diff the hashes).
+
+    python BENCH/result_hash.py --sf /root/testdata/sf0.1 --queries semantic_dedup,embedding_near_dup
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dlp_plugins_spark.session import get_spark  # noqa: E402
+
+
+def row_hash(df) -> tuple[str, int]:
+    schema = df.schema.simpleString()
+    rows = df.collect()
+    # canonical text form: repr of each row's cells, sorted
+    lines = sorted(repr(tuple(r)) for r in rows)
+    h = hashlib.sha256()
+    h.update(schema.encode())
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest(), len(rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--queries", required=True)
+    args = ap.parse_args()
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    names = [n.strip() for n in args.queries.split(",") if n.strip()]
+    spark = get_spark("result_hash")
+    out = {}
+    for name in names:
+        try:
+            hx, n = row_hash(qs[name](spark, args.sf))
+            out[name] = {"rows": n, "sha256": hx}
+        except Exception as exc:  # noqa: BLE001
+            out[name] = {"err": str(exc)[:200]}
+        print(f"# {name}: {out[name]}", file=sys.stderr)
+    print(json.dumps({"sf": args.sf, "results": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

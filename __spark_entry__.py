@@ -469,8 +469,13 @@ def q_value_percentiles_by_type(spark, sf_dir):
     """Exact continuous percentiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`), plus the basic grouped aggregates
     (count/sum/avg/countDistinct) that were the former standalone
-    `agg_events_by_type` attestation — same groupBy, one driver row."""
-    ev = _read(spark, sf_dir, "events")
+    `agg_events_by_type` attestation — same groupBy, one driver row.
+
+    Input widened first (functions/text.py widen_narrow_input): exact
+    percentile buffers every value map-side, and the single-row-group
+    parquet source would otherwise run that partial aggregation on one
+    core."""
+    ev = TX.widen_narrow_input(_read(spark, sf_dir, "events"))
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
@@ -516,7 +521,9 @@ FROM events GROUP BY 1, 2
 
 
 def q_token_stats_by_lang(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    # widened: the regexp token counters are per-row CPU over a
+    # single-row-group parquet source (1 scan task otherwise)
+    docs = TX.widen_narrow_input(_read(spark, sf_dir, "documents"))
     return (
         docs.withColumn("ws", TX.whitespace_token_count("text"))
         .withColumn("bpe", TX.bpe_ish_token_count("text"))
@@ -1334,10 +1341,14 @@ def q_fpe_roundtrip(spark, sf_dir):
 
     # deterministic transform over a repeating column: encrypt the
     # DISTINCT values only (dictionary pattern — at 100 TB you join the
-    # small cipher dictionary back rather than FF1-ing every row)
-    uids = _read(spark, sf_dir, "events").select(
-        F.lpad(F.col("user_id").cast("string"), 8, "0").alias("uid")
-    ).distinct()
+    # small cipher dictionary back rather than FF1-ing every row).
+    # distinct() runs on the raw long key (narrower shuffle than the
+    # padded string), and the small distinct set is widened afterwards:
+    # AQE coalesces the post-distinct exchange to ONE partition at this
+    # byte size, which would serialize every FF1 call on one core.
+    uids = TX.widen_narrow_input(
+        _read(spark, sf_dir, "events").select("user_id").distinct()
+    ).select(F.lpad(F.col("user_id").cast("string"), 8, "0").alias("uid"))
     spec = [{
         "transform": "FORMAT_PRESERVING_ENCRYPTION", "fields": "uid",
         "filters": "NONE",

@@ -1,0 +1,88 @@
+"""Per-query isolation bench (guide §1.4): times individual declared
+queries with the noop sink against any SF dir, and optionally captures
+``explain("formatted")`` output for plan audits.
+
+Does NOT replace bench.py (which is frozen for measurement) — this is
+the round-6 optimization loop's instrument. Usage:
+
+    python bench_extra.py --sf /root/testdata/sf1.0 --queries semantic_dedup,embedding_near_dup --passes 2
+    python bench_extra.py --sf /root/testdata/sf0.1 --queries all --explain plans/r06 --suffix before
+
+Prints one JSON line {"sf": ..., "queries": {name: best_sec}}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from dlp_plugins_spark.session import get_spark
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--queries", default="all")
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--warmup", action="store_true", default=True)
+    ap.add_argument("--no-warmup", dest="warmup", action="store_false")
+    ap.add_argument("--explain", default=None,
+                    help="directory to write <query>_<suffix>.txt plans")
+    ap.add_argument("--suffix", default="before")
+    args = ap.parse_args()
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    names = (list(qs) if args.queries == "all"
+             else [n.strip() for n in args.queries.split(",") if n.strip()])
+    spark = get_spark("bench_extra")
+    timings: dict[str, float] = {}
+
+    if args.explain:
+        os.makedirs(args.explain, exist_ok=True)
+        for name in names:
+            try:
+                plan = qs[name](spark, args.sf)._jdf.queryExecution() \
+                    .explainString(
+                        spark._jvm.org.apache.spark.sql.execution
+                        .ExplainMode.fromString("formatted"))
+                with open(os.path.join(
+                        args.explain, f"{name}_{args.suffix}.txt"), "w") as fh:
+                    fh.write(plan)
+            except Exception as exc:  # noqa: BLE001
+                print(f"# explain {name} failed: {exc}", file=sys.stderr)
+
+    if args.warmup:
+        warm = args.sf.replace("sf1.0", "sf0.001").replace(
+            "sf0.1", "sf0.001")
+        for name in names:
+            try:
+                spark.sparkContext.setJobDescription(f"warmup:{name}")
+                _force(qs[name](spark, warm))
+            except Exception:
+                pass
+
+    for _ in range(args.passes):
+        for name in names:
+            spark.sparkContext.setJobDescription(f"timed:{name}")
+            t = time.monotonic()
+            _force(qs[name](spark, args.sf))
+            dt = round(time.monotonic() - t, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            print(f"# {name}: {dt}", file=sys.stderr)
+
+    print(json.dumps({"sf": args.sf, "queries": timings}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,7 +54,12 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     n_chars, n_tokens, avg_token_len, punct_ratio, digit_ratio,
     upper_ratio, stopword_ratio, max_word_run (longest repeated-word run).
     All computed as built-in column expressions (whole-stage codegen).
+
+    The input is widened first (``widen_narrow_input``): the regexp
+    feature battery is pure per-row CPU, and a single-row-group parquet
+    source otherwise serializes the whole scan on 1 core.
     """
+    df = widen_narrow_input(df)
     c = F.col(col)
     n_chars = F.length(c)
     n_tokens = whitespace_token_count(c)
@@ -410,8 +415,8 @@ def top_ngrams(df, text_col: str = "text", n: int = 3, k: int = 20,
     per-group top-k windows the COUNT table (distinct grams), never
     the corpus. Returns (group?, ngram, n_occurrences, rank)."""
     gcols = [group_col] if group_col else []
-    wdf = df.select(*gcols, F.split(normalize_text(text_col), " ")
-                    .alias("_w"))
+    wdf = widen_narrow_input(df).select(
+        *gcols, F.split(normalize_text(text_col), " ").alias("_w"))
     grams = wdf.select(*gcols,
                        F.explode(shingles_of_words("_w", n)).alias("ngram"))
     counts = grams.groupBy(*gcols, "ngram") \

@@ -632,6 +632,9 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     themselves. Reassembly is a groupBy on the id (document-sized
     groups). Three shuffles total, none skew-prone.
     """
+    from dlp_plugins_spark.functions.text import widen_narrow_input
+
+    df = widen_narrow_input(df)
     parts = df.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), sep))
         .alias("_pos", "_para"),

@@ -409,35 +409,80 @@ def embedding_near_dup(
     seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold, found via
-    SRP bucket collisions (self-join on bucket, a_id < b_id) + exact
-    cosine verification. Returns (a_id, b_id, cosine)."""
+    SRP bucket collisions + exact cosine verification. Returns
+    (a_id, b_id, cosine).
+
+    Shape (guide §8 + §4.2): candidate ENUMERATION and VERIFICATION both
+    happen inside each (table, bucket) group, as one blocked numpy
+    cosine matrix per bucket (``applyInPandas``). The previous form
+    self-joined the exploded bucket rows carrying both 8·dim-byte
+    vectors, sort-aggregated ~n²·tables/2^bits candidate pairs to dedup
+    them, and evaluated an interpreted ``aggregate``-fold cosine per
+    pair — three exchanges of candidate-pair volume. Here the only
+    exchange is the groupBy on (table, bucket) — corpus rows x tables,
+    NOT pairs — and only threshold-PASSING pairs (plus the tiny
+    cross-table distinct) ever leave a bucket. Cosine values are
+    computed as the same dot/(|a||b|) formula with the HALF_UP
+    round-to-6 mirrored exactly (``_round6_half_up``); only the float
+    summation order differs from the old fold expression (~1-ulp,
+    decision- or value-relevant only within ~1e-15 of a rounding
+    boundary). Verified bit-identical old-vs-new at sf0.001/0.1/1.0.
+
+    Skew note: a bucket with m members costs m² vectorized flops and
+    (block x m) peak memory — the df² exposure every LSH family has; a
+    pathological all-identical corpus lands in one bucket per table but
+    the blocked kernel keeps memory flat while the matmul runs at BLAS
+    speed."""
+    from dlp_plugins_spark.functions.text import widen_narrow_input
+
+    df = widen_narrow_input(df)
     c = add_srp_buckets(df, dim, vec_col, bits, n_tables, seed)
     flat = c.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
         F.posexplode("_buckets").alias("_tbl", "_bkt"),
-    )
-    a, b = flat.alias("a"), flat.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a._tbl") == F.col("b._tbl"))
-            & (F.col("a._bkt") == F.col("b._bkt"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
-            F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"),
-        )
-        .dropDuplicates(["a_id", "b_id"])
-    )
-    return (
-        pairs.select(
-            "a_id", "b_id",
-            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    ).filter(F.col("_v").isNotNull())
+    thr = float(threshold)
+    id_type = flat.schema["_id"].dataType.simpleString()
+    out_schema = f"a_id {id_type}, b_id {id_type}, cosine double"
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                              "b_id": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values("_id", kind="mergesort")
+        ids = pdf["_id"].to_numpy()
+        mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        a_out, b_out, c_out = [], [], []
+        block = 1024
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for lo in range(0, m, block):
+                hi = min(lo + block, m)
+                cos = (mat[lo:hi] @ mat.T) / np.outer(norms[lo:hi], norms)
+                cos = _round6_half_up(cos)
+                # strict upper triangle in ABSOLUTE indices: j > i
+                rows = np.arange(lo, hi)[:, None]
+                cols = np.arange(m)[None, :]
+                sel = (cos >= thr) & (cols > rows)
+                ii, jj = np.nonzero(sel)
+                if len(ii):
+                    a_out.append(ids[ii + lo])
+                    b_out.append(ids[jj])
+                    c_out.append(cos[ii, jj])
+        if not a_out:
+            return empty
+        return pd.DataFrame({
+            "a_id": np.concatenate(a_out),
+            "b_id": np.concatenate(b_out),
+            "cosine": np.concatenate(c_out),
+        })
+
+    return flat.groupBy("_tbl", "_bkt").applyInPandas(
+        _bucket_pairs, schema=out_schema).distinct()
 
 
 def assign_nearest_centroid(
@@ -492,6 +537,49 @@ def assign_nearest_centroid(
     return df.withColumn(out_col, (-F.array_max(scored)["neg_cid"]).alias(out_col))
 
 
+def _round6_half_up(arr: np.ndarray) -> np.ndarray:
+    """Vectorized mirror of Spark's ``round(x, 6)`` (BigDecimal
+    HALF_UP over the double's shortest decimal repr). The fast path is
+    ``floor(x*1e6 + 0.5) / 1e6``; entries within ~1e-9 of a .5
+    boundary (where the two formulations can disagree) are recomputed
+    exactly with ``decimal`` over ``repr(x)`` — Python's repr is the
+    same shortest round-trip decimal Java's ``Double.toString`` feeds
+    BigDecimal, so the borderline path is bit-faithful."""
+    import decimal
+
+    scaled = arr * 1e6
+    fast = np.floor(scaled + 0.5) / 1e6
+    frac = scaled - np.floor(scaled)
+    border = np.abs(frac - 0.5) < 1e-9
+    if border.any():
+        q = decimal.Decimal("0.000001")
+        flat = fast.reshape(-1)
+        src = arr.reshape(-1)
+        for i in np.nonzero(border.reshape(-1))[0]:
+            flat[i] = float(
+                decimal.Decimal(repr(float(src[i]))).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP))
+    return fast
+
+
+def _dominated_mask(m: np.ndarray, threshold: float,
+                    block: int = 1024) -> np.ndarray:
+    """Row i is dominated iff some j < i has round6(m[i] @ m[j]) >=
+    threshold. Rows must be L2-normalized and sorted by ascending id.
+    Blocked matmul bounds peak memory at block x n doubles."""
+    n = len(m)
+    out = np.zeros(n, dtype=bool)
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        sims = m[lo:hi] @ m.T                      # (hi-lo, n)
+        passed = _round6_half_up(sims) >= threshold
+        # only columns j < row index count
+        cols = np.arange(n)[None, :]
+        rows = np.arange(lo, hi)[:, None]
+        out[lo:hi] = (passed & (cols < rows)).any(axis=1)
+    return out
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -520,58 +608,61 @@ def semantic_dedup(
     Returns surviving ``(id_col, cluster_id)`` rows.
 
     100 TB design: assignment is a shuffle-free projection (centroid
-    literals in the plan); the ONLY exchange is the within-cluster
-    self-join keyed on ``cluster_id``, so pairwise work drops from
-    O(n^2) to sum over clusters of |c|^2 — the clustering IS the
-    candidate pruning. Normalizing up front moves the norm work from
-    per-PAIR to per-ROW (~3x fewer interpreted-expression flops on the
-    dominant join), and the assigned frame is cut at a
-    build-index-then-query barrier (``_materialize``, same switch as
-    the other dedup families) because the self-join + anti-join
-    reference it three times. Skew note: a degenerate centroid set
-    (one giant cluster) re-creates n^2; at scale feed
-    k-means||-trained centroids
+    literals in the plan); the ONLY exchange is the groupBy on
+    ``cluster_id`` feeding the per-cluster survivor kernel, so pairwise
+    work drops from O(n^2) to sum over clusters of |c|^2 — the
+    clustering IS the candidate pruning. The within-cluster pairwise
+    test runs as ONE blocked numpy matmul per cluster
+    (``applyInPandas``): the |c|^2 dot products that previously ran as
+    interpreted ``aggregate`` fold expressions on a self-join (plus a
+    distinct and an anti-join — three more exchanges) now run at BLAS
+    speed with bounded memory (block x |c| scores at a time). The
+    normalization and centroid assignment stay JVM-side and
+    bit-identical; only the pairwise dot's float summation ORDER
+    differs (numpy pairwise/SIMD vs a sequential fold), which can
+    perturb a dot by ~1 ulp — decision-relevant only for a pair
+    sitting within ~1e-15 of the round-to-6 threshold boundary
+    (round-half-up itself is mirrored exactly, borderline cases via
+    decimal — see ``_round6_half_up``). Verified output-identical
+    against the pre-rewrite form and the all-pairs SQL oracle at every
+    test SF (tests/test_pipeline_ops.py + the driver oracle).
+
+    Skew note: a degenerate centroid set (one giant cluster) still
+    concentrates |c|^2 work on one task — same as the previous
+    join-shaped form, whose cluster_id exchange also mapped one cluster
+    to one partition; at scale feed k-means||-trained centroids
     (:func:`train_ivf_centroids_distributed`) sized so E[|c|] keeps
-    |c|^2 per-partition work bounded, and AQE skew-join splits any
-    residual hot cluster.
+    per-cluster work bounded. The blocked kernel keeps MEMORY flat
+    regardless of |c|.
     """
     import math
-
-    from dlp_plugins_spark.operators.dedup import _materialize
 
     norm_cents = []
     for cid, vec in centroids:
         n = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
         norm_cents.append((cid, [float(x) / n for x in vec]))
+    from dlp_plugins_spark.functions.text import widen_narrow_input
+
     vecs = (
-        df.select(F.col(id_col),
-                  F.col(vec_col).cast("array<double>").alias("_v"))
+        widen_narrow_input(df)
+        .select(F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("_v"))
         .withColumn("_nrm", _norm(F.col("_v")))
         .withColumn("_v", F.transform("_v", lambda x: x / F.col("_nrm")))
         .drop("_nrm")
     )
-    assigned = _materialize(assign_nearest_centroid(
-        vecs, norm_cents, vec_col="_v", pre_normalized=True))
-    # The pair join's cost is quadratic interpreted-expression COMPUTE
-    # on tiny BYTES (ids + vectors), so AQE's byte-based coalescing
-    # would squeeze it onto 1-2 tasks; a user-specified repartition is
-    # exempt from coalescing and keeps the |c|^2 work spread across the
-    # cluster. At real scale the exchange is required anyway — this
-    # just pins its width.
-    npart = df.sparkSession.sparkContext.defaultParallelism
-    a = assigned.select(
-        F.col(id_col).alias("_xid"), F.col("cluster_id"),
-        F.col("_v").alias("_xv")).repartition(npart, "cluster_id")
-    b = assigned.select(
-        F.col(id_col).alias("_yid"), F.col("cluster_id"),
-        F.col("_v").alias("_yv"))
-    dominated = (
-        a.join(b, on="cluster_id")
-        .filter(F.col("_yid") < F.col("_xid"))
-        .filter(F.round(_dot(F.col("_xv"), F.col("_yv")), 6)
-                >= F.lit(threshold))
-        .select(F.col("_xid").alias(id_col))
-        .distinct()
-    )
-    return assigned.join(dominated, on=id_col, how="left_anti") \
-        .select(id_col, "cluster_id")
+    assigned = assign_nearest_centroid(
+        vecs, norm_cents, vec_col="_v", pre_normalized=True)
+    out_schema = assigned.select(id_col, "cluster_id").schema
+    thr = float(threshold)
+
+    def _survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pdf[[id_col, "cluster_id"]]
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        m = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
+        keep = ~_dominated_mask(m, thr)
+        return pdf.loc[keep, [id_col, "cluster_id"]]
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        _survivors, schema=out_schema)
