@@ -1127,8 +1127,12 @@ def q_exact_dedup_keep(spark, sf_dir):
     standalone `exact_dedup_groups` attestation — the operator's survivor
     set and the groupBy-count path must agree (every survivor is its
     group's min-id keeper, one row per distinct fingerprint) or the
-    inner join drops rows and the oracle hash diverges."""
-    docs = _read(spark, sf_dir, "documents")
+    inner join drops rows and the oracle hash diverges.
+
+    Input widened (widen_narrow_input): both branches normalize+md5 the
+    full text over a single-row-group parquet source — 1 core each
+    otherwise."""
+    docs = TX.widen_narrow_input(_read(spark, sf_dir, "documents"))
     groups = (
         docs.select(TX.fingerprint_md5("text").alias("fp"), "doc_id")
         .groupBy("fp")

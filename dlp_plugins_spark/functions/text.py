@@ -47,6 +47,27 @@ STOPWORDS = (
     "for on with as at by from not have has had i you he she we they"
 ).split()
 
+# Explicit ASCII sets for translate()-based char counting. Each is the
+# exact expansion of the regex class it replaces (quality_features used
+# regexp_replace with the complements): translate is a plain char-map
+# pass, measured ~4x faster than regexp_replace on the punct class at
+# sf1.0 (guide §1.2 step 2: per-task work). Counting is
+# length(c) - length(translate(c, SET, "")) == length of keep-only
+# regexp_replace — byte-identical by construction.
+_PUNCT_CHARS = "".join(
+    chr(i) for i in (*range(0x21, 0x30), *range(0x3A, 0x41),
+                     *range(0x5B, 0x61), *range(0x7B, 0x7F))
+)  # == regex class [!-/:-@\[-`{-~]
+_DIGIT_CHARS = "0123456789"
+_UPPER_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_WS_CHARS = " \t\n\x0b\f\r"  # Java regex \s
+
+
+def _count_chars(c: Column, chars: str) -> Column:
+    """Number of characters of ``c`` belonging to ``chars`` (exact
+    equivalent of length(regexp_replace(c, [^chars], '')))."""
+    return F.length(c) - F.length(F.translate(c, chars, ""))
+
 
 def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     """Append deterministic quality features used for corpus filtering:
@@ -63,10 +84,12 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     c = F.col(col)
     n_chars = F.length(c)
     n_tokens = whitespace_token_count(c)
-    non_space = F.length(F.regexp_replace(c, r"\s", ""))
-    punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
-    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
-    uppers = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    # char-class counts via translate (see _count_chars): identical
+    # values to the former keep-only regexp_replace forms, ~4x cheaper
+    non_space = n_chars - _count_chars(c, _WS_CHARS)
+    punct = _count_chars(c, _PUNCT_CHARS)
+    digits = _count_chars(c, _DIGIT_CHARS)
+    uppers = _count_chars(c, _UPPER_CHARS)
     stop_pattern = r"(?i)\b(" + "|".join(STOPWORDS) + r")\b"
     stops = F.regexp_count(c, F.lit(stop_pattern))
     return (
@@ -284,13 +307,26 @@ def winnow_fingerprints(df, text_col: str = "text", k: int = 8, w: int = 16,
     )
     n_h = F.size(F.col("_h"))
     n_wins = n_h - F.lit(w) + F.lit(1)
+
+    def _least_tree(j, lo, hi):
+        # min over element_at(_h, j+lo..j+hi) as a balanced F.least
+        # tree: identical value to array_min(slice(_h, j, w)) (min is
+        # associative/commutative; no nulls — md5 of a substring is
+        # never null), but w-1 direct comparisons with NO per-window
+        # slice allocation — measured ~2x faster at sf1.0 (the window
+        # stage dominated the fingerprint kernel, guide §1.2 step 2)
+        if lo == hi:
+            return F.element_at(F.col("_h"), (j + F.lit(lo)).cast("int"))
+        mid = (lo + hi) // 2
+        return F.least(_least_tree(j, lo, mid), _least_tree(j, mid + 1, hi))
+
     wins = (
         F.when(n_h.isNull() | (n_h < 1), F.array().cast("array<string>"))
         .when(n_h < w, F.array(F.array_min(F.col("_h"))))
         .otherwise(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
-                lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
+                lambda j: _least_tree(j, 0, w - 1),
             )
         )
     )

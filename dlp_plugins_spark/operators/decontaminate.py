@@ -159,12 +159,21 @@ def decontamination_report(docs: DataFrame, bench: DataFrame, n: int = 13,
     columns of ``contamination_token_coverage``, per document.
 
     At corpus scale the composed form (join of the two operators) scans
-    the corpus and rebuilds its n-grams twice; this fused form explodes
-    positioned n-grams once, broadcast-joins the benchmark set once,
-    and computes all signals in a single per-document aggregation —
-    distinct-gram counts plus an O(m) sorted-interval sweep
-    (``aggregate`` over the matched positions) for the union length of
-    the covered spans, never a second explode. Returns
+    the corpus and rebuilds its n-grams twice; this fused form builds
+    positioned n-grams ONCE (a projection attribute, so the explode
+    and the per-row distinct count share one evaluation),
+    broadcast-joins the benchmark set once, and computes all signals
+    in a single per-document aggregation whose map-side partials carry
+    ONLY matched grams: the per-row distinct-gram count rides the
+    exploded rows as an attribute (``first``), the matched distinct
+    count is ``array_distinct(collect_list(matched grams))``, and
+    coverage is an O(m) sorted-interval sweep over the matched
+    positions. Corpus gram STRINGS therefore die map-side — the
+    aggregation exchange carries one row per document plus
+    contamination-bounded matched lists, where the previous
+    ``countDistinct`` pair Expand-doubled every exploded gram row
+    through an ObjectHashAggregate exchange (guide §2.3: aggregate
+    before you shuffle). Returns
     (``id_col``, n_ngrams, n_contaminated, contaminated, n_tokens,
     n_covered, covered_frac).
     """
@@ -191,11 +200,21 @@ def decontamination_report(docs: DataFrame, bench: DataFrame, n: int = 13,
             ),
         )
     )
-    exploded = wdf.select(
+    # materialize the gram array as an attribute so the distinct-count
+    # and the explode below share ONE evaluation per row
+    gdf = wdf.select(
         id_col,
         F.coalesce(n_words, F.lit(0)).cast("long").alias("n_tokens"),
-        F.explode_outer(gp).alias("_g"),
-    ).select(id_col, "n_tokens", F.col("_g.pos").cast("long").alias("pos"),
+        gp.alias("_gp"),
+    )
+    exploded = gdf.select(
+        id_col, "n_tokens",
+        F.size(F.array_distinct(F.transform(F.col("_gp"),
+                                            lambda g: g["gram"])))
+        .cast("long").alias("n_ngrams"),
+        F.explode_outer("_gp").alias("_g"),
+    ).select(id_col, "n_tokens", "n_ngrams",
+             F.col("_g.pos").cast("long").alias("pos"),
              F.col("_g.gram").alias("gram"))
     hits = exploded.join(
         grams.withColumn("_hit", F.lit(1)), on="gram", how="left")
@@ -217,8 +236,9 @@ def decontamination_report(docs: DataFrame, bench: DataFrame, n: int = 13,
         lambda acc: acc["tot"],
     )
     agg = hits.groupBy(id_col).agg(
-        F.countDistinct("gram").cast("long").alias("n_ngrams"),
-        F.countDistinct(F.when(F.col("_hit") == 1, F.col("gram")))
+        F.first("n_ngrams").alias("n_ngrams"),
+        F.size(F.array_distinct(F.collect_list(
+            F.when(F.col("_hit") == 1, F.col("gram")))))
         .cast("long").alias("n_contaminated"),
         F.first("n_tokens").alias("n_tokens"),
         covered.alias("n_covered"),
