@@ -1129,10 +1129,11 @@ def q_exact_dedup_keep(spark, sf_dir):
     group's min-id keeper, one row per distinct fingerprint) or the
     inner join drops rows and the oracle hash diverges.
 
-    Input widened (widen_narrow_input): both branches normalize+md5 the
-    full text over a single-row-group parquet source — 1 core each
-    otherwise."""
-    docs = TX.widen_narrow_input(_read(spark, sf_dir, "documents"))
+    NOT widened (round-6 A/B): widen_narrow_input here shuffles the
+    full text twice (both branches) to parallelize a ~1-core md5 pass —
+    measured net-negative at sf0.1 (0.60 -> 0.79 s) and flat at sf1.0;
+    the window/groupBy exchanges already spread the heavy work."""
+    docs = _read(spark, sf_dir, "documents")
     groups = (
         docs.select(TX.fingerprint_md5("text").alias("fp"), "doc_id")
         .groupBy("fp")

@@ -94,11 +94,18 @@ def corpus_pipeline(docs: DataFrame, bench: DataFrame,
     semantic_vec_col)`` DataFrame plus ``semantic_centroids``; the
     embedding side is semi-join-pruned to the documents still alive,
     so later stages never pay for already-removed rows."""
+    # Materialize BEFORE the quality filter: filtering on the computed
+    # quality_score column lets the optimizer push the predicate below
+    # the projection and evaluate the whole feature battery TWICE
+    # (guide §4.4 — the executed plan showed every translate/regexp
+    # doubled; measured 8.3 s vs 0.9 s at sf1.0/local[32]). The barrier
+    # stores score+text for ALL rows (slightly more checkpoint bytes)
+    # and the filter becomes a trivial scan predicate over it.
     q = _materialize(
         quality_score(docs, text_col)
-        .filter(f"quality_score >= {float(quality_threshold)}")
+        .select(id_col, text_col, "quality_score")
+    ).filter(f"quality_score >= {float(quality_threshold)}") \
         .select(id_col, text_col)
-    )
     deduped_spans = _materialize(
         paragraph_dedup(q, text_col=text_col, id_col=id_col,
                         sep=paragraph_sep, min_len=min_paragraph_len)

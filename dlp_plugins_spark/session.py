@@ -48,6 +48,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Scan-split size (guide §6). Local default 32m: the bench's
+        # parquet inputs are 100-900 MB at the measured SFs, so the
+        # 128m default planned 1-2 scan tasks on a 32-core host; 32m
+        # lets multi-row-group files fan out (row groups remain the
+        # floor — single-row-group files still need widen_narrow_input,
+        # see functions/text.py). Production guidance: RAISE this
+        # (512m-1g) on real clusters where inputs arrive in thousands
+        # of splits and the map-task count feeding shuffles is the
+        # concern (guide §2.2) — hence the env knob, not a constant.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"))
     )
     if re.match(r"local(\[|$)", master):
         # Single-host shuffle: blocks land in the page cache / local
