@@ -424,7 +424,7 @@ class LakeTable:
     def commit_merge(
         self,
         new_data_by_bucket: DataFrame,
-        touched_buckets: list[int],
+        touched_buckets: list[int] | None,
         lsn_range: tuple[int, int] | list[tuple[int, int]],
         batch_ids: list[int],
         schema: T.StructType,
@@ -434,6 +434,7 @@ class LakeTable:
         replace_all: bool = False,
         properties: dict | None = None,
         pre_partitioned: bool = False,
+        derive_insert_counts: bool = False,
     ) -> Snapshot:
         """Write new files for ``touched_buckets`` and commit.
 
@@ -460,7 +461,21 @@ class LakeTable:
         files written below become orphans, removed by
         expire_snapshots). Data dirs carry a unique token, never a
         snapshot id, so racing writers cannot clobber each other's
-        files."""
+        files.
+
+        ``touched_buckets=None`` (delta commits only): derive the
+        touched-bucket set from the bucket directories the write
+        actually produced — callers on the insert-only fast path
+        (``merge_batch(insert_only_lsn=...)``) skip their pre-write
+        stats job, so the write output is the first place the set
+        exists. MOW commits must still pass the set explicitly (the
+        kept-files calculation needs it BEFORE the write).
+
+        ``derive_insert_counts``: record ``op_counts={'I': total}`` and
+        ``batch_rows`` in lineage from the written files' footer counts
+        (exact for insert-only batches, where written rows == batch
+        rows) — again so the fast path keeps full lineage without a
+        stats job."""
         base = self.current_snapshot()
         if expected_parent is not None and base.snapshot_id != expected_parent:
             raise CommitConflict(
@@ -489,6 +504,15 @@ class LakeTable:
                        .sortWithinPartitions("bucket", *self.key_cols))
         towrite.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
 
+        if touched_buckets is None:
+            if not delta:
+                raise ValueError(
+                    "touched_buckets=None is only valid for delta commits "
+                    "(MOW kept-files need the set before the write)")
+            touched_buckets = sorted(
+                int(d.split("=", 1)[1]) for d in os.listdir(out_dir)
+                if d.startswith("bucket=")
+            )
         todo: list[tuple[int, str]] = []
         for b in touched_buckets:
             bdir = os.path.join(out_dir, f"bucket={b}")
@@ -580,6 +604,11 @@ class LakeTable:
                 "touched_buckets": sorted(touched_buckets),
                 "bucket_rows": bucket_rows,
                 "n_files": len(files),
+                **(
+                    {"op_counts": {"I": sum(f["rows"] for f in files)},
+                     "batch_rows": sum(f["rows"] for f in files)}
+                    if derive_insert_counts else {}
+                ),
                 **(lineage_extra or {}),
             }
             lpath = os.path.join(

@@ -125,8 +125,27 @@ def merge_batch(
     conflict_retries: int = 0,
     merge_path: str = "bucket",
     lsn_window: int | None = None,
+    insert_only_lsn: int | None = None,
 ) -> MergeStats | None:
     """Apply one micro-batch to the lake table, committing a snapshot.
+
+    ``insert_only_lsn``: single-job append fast path for ledger-style
+    writers (``DedupCorpus`` ingests, ``AnnIndex`` adds). The CALLER
+    asserts the batch is insert-only (every ``op`` is I), every row
+    carries ``lsn == insert_only_lsn``, and keys are unique within the
+    batch and disjoint from stored keys — exactly the contract those
+    writers already document. Under that contract the J1 stats job is
+    pure redundancy (touched buckets are whatever bucket dirs the write
+    produces, the applied range is ``(lsn, lsn)``, op counts equal the
+    written row counts the commit reads from parquet footers anyway)
+    and the LWW winner test is vacuous (unique keys), so this path runs
+    ONE Spark job: bucket-repartition + key-sort + partitioned write,
+    then the manifest commit. Requires ``mode='mor'`` +
+    ``merge_path='bucket'`` and no ``transform``/``lsn_window``;
+    returned ``MergeStats`` carries -1 counts (lineage still records
+    exact written-row counts via ``derive_insert_counts``). Exactly-
+    once is unchanged: the batch-id early-return and the row-level
+    applied filter both still run.
 
     ``lsn_window``: streaming-tail mode. Batch replay aligns its batches
     to LSN windows, so committing one global ``[lo, hi]`` applied-range
@@ -229,7 +248,8 @@ def merge_batch(
     for _ in range(max(conflict_retries, 0) + 1):
         try:
             return _merge_once(table, batch, batch_ids, salted, transform,
-                               mode, lineage_extra, merge_path, lsn_window)
+                               mode, lineage_extra, merge_path, lsn_window,
+                               insert_only_lsn)
         except CommitConflict as exc:
             last = exc
     raise last
@@ -245,6 +265,7 @@ def _merge_once(
     lineage_extra: dict | None,
     merge_path: str = "bucket",
     lsn_window: int | None = None,
+    insert_only_lsn: int | None = None,
 ) -> MergeStats | None:
     spark = batch.sparkSession
     snap = table.current_snapshot()
@@ -255,6 +276,15 @@ def _merge_once(
     fresh = batch.filter(table.applied_filter(snap)).withColumn(
         "_bucket", key_bucket_expr(table.key_cols, table.n_buckets)
     )
+
+    if insert_only_lsn is not None:
+        if mode != "mor" or merge_path != "bucket" or transform is not None \
+                or lsn_window is not None:
+            raise ValueError(
+                "insert_only_lsn requires mode='mor', merge_path='bucket', "
+                "no transform and no lsn_window")
+        return _append_insert_only(table, fresh, batch_ids,
+                                   int(insert_only_lsn), lineage_extra, snap)
 
     # ---- J1: per-bucket stats on the raw batch (JVM-only, cheap) -----------
     # Streaming mode additionally groups by LSN window (lsn // W): the
@@ -469,3 +499,60 @@ def _merge_once(
         touched_buckets=len(touched),
         op_counts=op_counts,
     )
+
+
+def _append_insert_only(table: LakeTable, fresh: DataFrame,
+                        batch_ids: list[int], lsn: int,
+                        lineage_extra: dict | None,
+                        snap) -> MergeStats:
+    """One-Spark-job append for insert-only constant-LSN batches (the
+    ``insert_only_lsn`` contract on ``merge_batch``): no stats job (the
+    commit derives touched buckets from the written bucket dirs and row
+    counts from parquet footers), no LWW window (keys are unique by the
+    caller's contract), just bucket-repartition + key-sort + direct
+    partitioned write. An all-already-applied batch still commits — an
+    empty delta snapshot that records the batch id, so replay
+    bookkeeping stays consistent."""
+    table_schema = snap.schema()
+    table_cols = set(table_schema.fieldNames())
+    payload_fields = [
+        f for f in fresh.schema.fields
+        if f.name not in (OP_COL, "batch_id", "_bucket") and f.name != LSN_COL
+    ]
+    new_fields = [
+        T.StructField(f.name, f.dataType, True)
+        for f in payload_fields if f.name not in table_cols
+    ]
+    evolved_schema = T.StructType(table_schema.fields + new_fields)
+
+    srt = (
+        fresh.drop("batch_id")
+        .repartition(max(table.n_buckets, 1), "_bucket")
+        .sortWithinPartitions("_bucket", *table.key_cols)
+    )
+    payload = [
+        (F.col(f.name) if f.name in srt.columns
+         else F.lit(None).cast(f.dataType).alias(f.name))
+        for f in evolved_schema.fields if f.name != "_lsn"
+    ]
+    delta_rows = srt.select(
+        *payload,
+        F.col(LSN_COL).alias("_lsn"),
+        F.col(OP_COL).alias("_op"),
+        "_bucket",
+    )
+    table.commit_merge(
+        delta_rows,
+        touched_buckets=None,
+        lsn_range=(lsn, lsn),
+        batch_ids=batch_ids,
+        schema=evolved_schema,
+        lineage_extra={"mode": "mor", "insert_only": True,
+                       **(lineage_extra or {})},
+        delta=True,
+        expected_parent=snap.snapshot_id,
+        pre_partitioned=True,
+        derive_insert_counts=True,
+    )
+    return MergeStats(batch_rows=-1, deduped_rows=-1, touched_buckets=-1,
+                      op_counts={"I": -1})

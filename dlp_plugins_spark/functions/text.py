@@ -341,69 +341,99 @@ def repetition_features(df, text_col: str = "text",
     quality filters (Gopher, Rae et al. 2021 §A1.1; RefinedWeb,
     Penedo et al. 2023): documents dominated by repeated lines or a
     single repeated n-gram are boilerplate/spam and get filtered before
-    training. All JVM array expressions — no Python, no shuffle:
+    training.
 
     - ``dup_line_frac``: fraction of lines that are duplicates of an
       earlier line (0 when every line is distinct);
     - ``top_bigram_frac``: occurrences of the most frequent word bigram
-      over total bigrams (computed via array_sort + one aggregate()
-      linear scan for the longest equal run — no explode/groupBy);
+      over total bigrams;
     - ``n_lines``, ``n_words`` for downstream thresholds.
+
+    Kernel shape (optimization guide §4.2): the original form computed
+    the top-bigram count as JVM ``array_sort`` + an ``aggregate()``
+    fold — both run as INTERPRETED expressions (higher-order lambdas do
+    not codegen), and a stage drill attributed the whole query wall to
+    that machinery, not to data volume. This form sends ONLY the text
+    column through one Arrow-batched pandas UDF and counts bigrams with
+    a hash map (C-level ``str.split`` + ``Counter``) — same results:
+    counts are integers, the two fractions are exact integer-ratio
+    doubles (IEEE division is identical in the JVM and CPython), and
+    round-to-6 mirrors Spark's BigDecimal HALF_UP via
+    ``_round6_half_up``. The normalization mirror is exact for the
+    engine's text domain: ``re.ASCII`` makes Python ``\\s`` equal
+    Java's default ``[ \\t\\n\\x0B\\f\\r]``, and lower/split agree on
+    ASCII (non-ASCII lowercasing can differ per-codepoint between
+    CPython and the JVM in exotic cases — the same bound every other
+    Python-mirror kernel in this package documents).
     """
+    import numpy as np
+    import pyspark.sql.types as T
+
+    from dlp_plugins_spark.operators.similarity import _round6_half_up
+
     keep = id_cols if id_cols is not None else [
         c for c in df.columns if c != text_col
     ]
-    base = widen_narrow_input(df).select(
-        *keep,
-        F.split(F.col(text_col), "\n").alias("_lines"),
-        F.split(normalize_text(text_col), " ").alias("_w"),
-    )
-    n_lines = F.size("_lines")
-    n_words = F.size("_w")
-    dup_line_frac = F.when(n_lines <= 0, F.lit(0.0)).otherwise(
-        (n_lines - F.size(F.array_distinct("_lines")))
-        / n_lines.cast("double")
-    )
-    n_bi = n_words - F.lit(1)
-    bigrams = F.when(n_words < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_bi, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", F.element_at("_w", i), F.element_at("_w", i + 1)),
-        )
-    )
-    with_bi = base.select(
-        *keep, "_lines", "_w", F.array_sort(bigrams).alias("_bi"))
-    # longest run of equal adjacent elements in the sorted bigram array
-    # == max frequency of any bigram; one aggregate() pass, no shuffle
-    run = F.aggregate(
-        "_bi",
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-             .alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-    n_bi_actual = F.size("_bi")
-    top_bigram_frac = F.when(n_bi_actual <= 0, F.lit(0.0)).otherwise(
-        run / n_bi_actual.cast("double"))
-    return with_bi.select(
-        *keep,
-        F.size("_lines").alias("n_lines"),
-        F.size("_w").alias("n_words"),
-        F.round(dup_line_frac, 6).alias("dup_line_frac"),
-        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
-    )
+    out_schema = T.StructType([
+        T.StructField("n_lines", T.IntegerType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("dup_line_frac", T.DoubleType()),
+        T.StructField("top_bigram_frac", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(out_schema)
+    def _feats(texts: pd.Series) -> pd.DataFrame:
+        import re
+        from collections import Counter
+
+        non_alnum = re.compile(r"[^a-z0-9\s]", re.ASCII)
+        ws = re.compile(r"\s+", re.ASCII)
+        n_lines_out, n_words_out = [], []
+        dup_out, top_out = [], []
+        for t in texts:
+            if t is None:
+                n_lines_out.append(None)
+                n_words_out.append(None)
+                dup_out.append(np.nan)
+                top_out.append(np.nan)
+                continue
+            lines = t.split("\n")
+            n_lines = len(lines)
+            # exact mirror of normalize_text: lower -> non-alnum to
+            # space -> collapse \s+ -> trim spaces -> split on ' '
+            w = ws.sub(" ", non_alnum.sub(" ", t.lower())).strip(" ") \
+                .split(" ")
+            n_words = len(w)
+            dup = (n_lines - len(set(lines))) / float(n_lines)
+            if n_words < 2:
+                top = 0.0
+            else:
+                cnt = Counter(map(" ".join, zip(w, w[1:])))
+                top = max(cnt.values()) / float(n_words - 1)
+            n_lines_out.append(n_lines)
+            n_words_out.append(n_words)
+            dup_out.append(dup)
+            top_out.append(top)
+        dup_arr = _round6_half_up(np.asarray(dup_out, dtype="float64"))
+        top_arr = _round6_half_up(np.asarray(top_out, dtype="float64"))
+        # null text -> NULL outputs (not NaN), matching F.size(null) /
+        # null-propagating arithmetic in the original expression form
+        dup_col = pd.array(dup_arr, dtype="Float64")
+        top_col = pd.array(top_arr, dtype="Float64")
+        null_rows = [i for i, v in enumerate(n_lines_out) if v is None]
+        for i in null_rows:
+            dup_col[i] = pd.NA
+            top_col[i] = pd.NA
+        return pd.DataFrame({
+            "n_lines": pd.array(n_lines_out, dtype="Int32"),
+            "n_words": pd.array(n_words_out, dtype="Int32"),
+            "dup_line_frac": dup_col,
+            "top_bigram_frac": top_col,
+        })
+
+    return widen_narrow_input(df).select(
+        *keep, _feats(F.col(text_col)).alias("_r")
+    ).select(*keep, "_r.*")
 
 
 def compression_ratio(df, text_col: str = "text",

@@ -113,8 +113,12 @@ class AnnIndex:
         rows = self._bucket_rows(vecs.select("vec_id", "embedding")) \
             .select("tbl", "bkt", "vec_id", "embedding",
                     F.lit("I").alias("op"), lsn.alias("lsn"))
+        # insert-only single-job fast path: ids unique/disjoint across
+        # batches (caller contract above) and lsn == batch_id constant,
+        # so the merge skips its stats job and LWW window outright.
         merge_batch(self.table, rows, [batch_id], mode="mor",
-                    conflict_retries=conflict_retries)
+                    conflict_retries=conflict_retries,
+                    insert_only_lsn=batch_id)
 
     def maintain(self, spark: SparkSession,
                  max_deltas_per_bucket: int = 8) -> None:

@@ -22,6 +22,7 @@ standard shuffled equi-join on the n-gram string.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from dlp_plugins_spark.functions.text import with_shingle_set
@@ -33,9 +34,18 @@ def benchmark_ngrams(bench: DataFrame, text_col: str = "text",
     row per n-gram (column ``gram``). Normalization matches the dedup
     family (``normalize_text``: lowercase, strip punctuation, collapse
     whitespace) so a benchmark string matches regardless of surface
-    formatting."""
-    g = with_shingle_set(bench.select(text_col), text_col, k=n,
-                         out="_g", id_cols=[])
+    formatting.
+
+    The input is widened first (guide §2.6/§6): eval sets typically
+    arrive as one small file -> one partition, serializing the
+    interpreted per-gram slice/join expressions on a single core — a
+    stage drill measured the UNWIDENED bench-side gram build at 3.7 s
+    of a 4.1 s decontamination wall at 50k-doc scale. The distinct is
+    partitioning-invariant, so results are byte-identical."""
+    from dlp_plugins_spark.functions.text import widen_narrow_input
+
+    g = with_shingle_set(widen_narrow_input(bench.select(text_col)),
+                         text_col, k=n, out="_g", id_cols=[])
     return g.select(F.explode("_g").alias("gram")).distinct()
 
 
@@ -158,33 +168,42 @@ def decontamination_report(docs: DataFrame, bench: DataFrame, n: int = 13,
     columns of ``ngram_contamination`` AND the Llama-2 token-coverage
     columns of ``contamination_token_coverage``, per document.
 
-    At corpus scale the composed form (join of the two operators) scans
-    the corpus and rebuilds its n-grams twice; this fused form builds
-    positioned n-grams ONCE (a projection attribute, so the explode
-    and the per-row distinct count share one evaluation),
-    broadcast-joins the benchmark set once, and computes all signals
-    in a single per-document aggregation whose map-side partials carry
-    ONLY matched grams: the per-row distinct-gram count rides the
-    exploded rows as an attribute (``first``), the matched distinct
-    count is ``array_distinct(collect_list(matched grams))``, and
-    coverage is an O(m) sorted-interval sweep over the matched
-    positions. Corpus gram STRINGS therefore die map-side — the
-    aggregation exchange carries one row per document plus
-    contamination-bounded matched lists, where the previous
-    ``countDistinct`` pair Expand-doubled every exploded gram row
-    through an ObjectHashAggregate exchange (guide §2.3: aggregate
-    before you shuffle). Returns
-    (``id_col``, n_ngrams, n_contaminated, contaminated, n_tokens,
-    n_covered, covered_frac).
+    Two execution shapes (optimization guide §4.2 / §2.3):
+
+    - ``broadcast_bench=True`` (default): the benchmark's distinct
+      grams are COLLECTED once (bounded — eval sets are megabytes next
+      to a terabyte corpus; the same bound the CDC replay's in-merge
+      decontamination already relies on), shipped as a Spark broadcast,
+      and every per-document signal is computed inside ONE Arrow-
+      batched pandas kernel as plain Python set membership over the
+      document's n-grams: no gram-string explode, no join, NO SHUFFLE
+      AT ALL — the report is a per-row projection. A stage drill showed
+      the previous JVM form spending its whole wall building ~n_words
+      positioned gram STRINGS per document through interpreted
+      ``transform``/``slice`` expressions and pushing them through the
+      broadcast-join probe; the kernel builds the same grams with
+      C-level string ops and answers membership from one hash set. The
+      string mirror is exact for the engine's normalization
+      (``py_normalize_text`` is the tested oracle mirror; counts are
+      integers; ``covered_frac`` is an integer-ratio double rounded by
+      the BigDecimal-HALF-UP mirror).
+    - ``broadcast_bench=False``: the escape hatch for a benchmark set
+      too large to collect/broadcast — the original fused-aggregation
+      form: positioned n-grams built once as a projection attribute,
+      shuffled equi-join against the gram table, one per-document
+      aggregation whose map-side partials carry only matched grams.
+
+    Returns (``id_col``, n_ngrams, n_contaminated, contaminated,
+    n_tokens, n_covered, covered_frac).
     """
     from dlp_plugins_spark.functions.text import (
         normalize_text, widen_narrow_input,
     )
 
     bt = bench_text_col or text_col
-    grams = benchmark_ngrams(bench, bt, n)
     if broadcast_bench:
-        grams = F.broadcast(grams)
+        return _report_kernel(docs, bench, n, text_col, id_col, bt)
+    grams = benchmark_ngrams(bench, bt, n)
     wdf = widen_narrow_input(docs.select(id_col, text_col)).select(
         id_col, F.split(normalize_text(text_col), " ").alias("_w"))
     n_words = F.size("_w")
@@ -250,6 +269,90 @@ def decontamination_report(docs: DataFrame, bench: DataFrame, n: int = 13,
         F.when(F.col("n_tokens") > 0,
                F.round(F.col("n_covered") / F.col("n_tokens"), 6))
         .otherwise(F.lit(0.0)).alias("covered_frac"),
+    )
+
+
+def _report_kernel(docs: DataFrame, bench: DataFrame, n: int,
+                   text_col: str, id_col: str, bench_text_col: str
+                   ) -> DataFrame:
+    """Broadcast-set pandas kernel behind ``decontamination_report``
+    (see its docstring): per-document contamination signals as one
+    shuffle-free Arrow-batched projection over a ``sc.broadcast`` of
+    the benchmark's distinct grams."""
+    import pyspark.sql.types as T
+
+    from dlp_plugins_spark.functions.text import widen_narrow_input
+    from dlp_plugins_spark.operators.similarity import _round6_half_up
+
+    spark = docs.sparkSession
+    # bounded driver collect of the eval TEXTS, grams built with the
+    # tested Python mirror (py_benchmark_ngrams == benchmark_ngrams by
+    # construction and by test): driver-side milliseconds, where the
+    # JVM gram job paid seconds re-evaluating the interpreted shingle
+    # expressions inside its explode stage (projection collapse into
+    # Generate — the same hazard shingles_of_words documents)
+    bench_set = frozenset(py_benchmark_ngrams(
+        [r[0] for r in bench.select(bench_text_col).collect()], n))
+    bc = spark.sparkContext.broadcast(bench_set)
+    nn = int(n)
+
+    out_schema = T.StructType([
+        T.StructField("n_ngrams", T.LongType()),
+        T.StructField("n_contaminated", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("n_covered", T.LongType()),
+        T.StructField("covered_frac", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(out_schema)
+    def _report(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        grams_set = bc.value
+        n_ngrams, n_cont, n_tok, n_cov, frac = [], [], [], [], []
+        for t in texts:
+            if not isinstance(t, str):
+                # null text: JVM form reports (0, 0, 0, 0, 0.0)
+                n_ngrams.append(0); n_cont.append(0)
+                n_tok.append(0); n_cov.append(0); frac.append(0.0)
+                continue
+            w = py_normalize_text(t).split(" ")
+            nt = len(w)
+            if nt < nn:
+                n_ngrams.append(0); n_cont.append(0)
+                n_tok.append(nt); n_cov.append(0); frac.append(0.0)
+                continue
+            doc_grams = [" ".join(w[i:i + nn]) for i in range(nt - nn + 1)]
+            matched = [i for i, g in enumerate(doc_grams)
+                       if g in grams_set]
+            # union length of covered intervals [p, p+n): monotone sweep
+            end, tot = -1, 0
+            for p in matched:
+                tot += max(p + nn, end) - max(p, end)
+                end = max(end, p + nn)
+            n_ngrams.append(len(set(doc_grams)))
+            n_cont.append(len({doc_grams[i] for i in matched}))
+            n_tok.append(nt)
+            n_cov.append(tot)
+            frac.append(tot / nt)
+        return pd.DataFrame({
+            "n_ngrams": pd.array(n_ngrams, dtype="int64"),
+            "n_contaminated": pd.array(n_cont, dtype="int64"),
+            "n_tokens": pd.array(n_tok, dtype="int64"),
+            "n_covered": pd.array(n_cov, dtype="int64"),
+            "covered_frac": _round6_half_up(
+                np.asarray(frac, dtype="float64")),
+        })
+
+    wdf = widen_narrow_input(docs.select(id_col, text_col))
+    return wdf.select(id_col, _report(F.col(text_col)).alias("_r")).select(
+        id_col,
+        F.col("_r.n_ngrams").alias("n_ngrams"),
+        F.col("_r.n_contaminated").alias("n_contaminated"),
+        (F.col("_r.n_contaminated") > 0).alias("contaminated"),
+        F.col("_r.n_tokens").alias("n_tokens"),
+        F.col("_r.n_covered").alias("n_covered"),
+        F.col("_r.covered_frac").alias("covered_frac"),
     )
 
 

@@ -191,17 +191,25 @@ class DedupCorpus:
     def _append(self, survivors: DataFrame, batch_id: int,
                 bands_surv: DataFrame, conflict_retries: int = 0) -> None:
         lsn = F.lit(batch_id).cast("long")
+        # both appends take the insert-only single-job fast path (no
+        # stats job, no LWW window): survivors' doc_ids are unique and
+        # disjoint from prior batches (upstream owns id assignment) and
+        # every row carries lsn == batch_id — exactly the contract
+        # merge_batch(insert_only_lsn=...) documents. Commit ORDER stays
+        # corpus-then-index: crash recovery keys off the corpus commit.
         corpus_batch = survivors.select(
             "doc_id", "text", lsn.alias("ingest_batch"),
             F.lit("I").alias("op"), lsn.alias("lsn"))
         merge_batch(self.corpus, corpus_batch, [batch_id], mode="mor",
-                    conflict_retries=conflict_retries)
+                    conflict_retries=conflict_retries,
+                    insert_only_lsn=batch_id)
         index_batch = bands_surv.select(
             F.col("_band_idx").alias("band_idx"),
             F.col("_band_hash").alias("band_hash"), "doc_id",
             F.lit("I").alias("op"), lsn.alias("lsn"))
         merge_batch(self.index, index_batch, [batch_id], mode="mor",
-                    conflict_retries=conflict_retries)
+                    conflict_retries=conflict_retries,
+                    insert_only_lsn=batch_id)
 
     def ingest(self, spark: SparkSession, new_docs: DataFrame,
                batch_id: int, collect_stats: bool = True,

@@ -1098,3 +1098,58 @@ def test_bucket_lww_plan_has_single_exchange(spark):
     assert len(re.findall(r"Exchange", plan)) == 1, plan
     assert len(re.findall(r"\bSort\b", plan)) == 1, plan
     assert "Window" in plan
+
+
+def test_insert_only_append_equals_generic_mor(spark, tmp_path):
+    """merge_batch(insert_only_lsn=...) — the single-job append fast
+    path used by DedupCorpus/AnnIndex — must produce the same table
+    state as the generic MOR merge, keep the exactly-once early-return,
+    and record exact written-row counts in lineage without a stats
+    job."""
+    import pyspark.sql.types as T
+
+    from dlp_plugins_spark.cdc.merge import merge_batch
+
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t_gen = LakeTable.create(str(tmp_path / "gen"), schema, ["k"],
+                             n_buckets=4)
+    t_fast = LakeTable.create(str(tmp_path / "fast"), schema, ["k"],
+                              n_buckets=4)
+    for bid in range(3):
+        rows = spark.range(bid * 50, bid * 50 + 50).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+            F.lit("I").alias("op"),
+            F.lit(bid).cast("long").alias("lsn"),
+        )
+        merge_batch(t_gen, rows, [bid], mode="mor")
+        merge_batch(t_fast, rows, [bid], mode="mor", insert_only_lsn=bid)
+
+    def _state(t, **kw):
+        return sorted(
+            map(tuple, t.read(spark, **kw).select("k", "v", "_lsn").collect())
+        )
+
+    want = _state(t_gen)
+    assert len(want) == 150
+    assert _state(t_fast) == want
+    assert _state(t_fast, append_only=True) == want
+
+    # exactly-once: replaying an applied batch early-returns, no commit
+    n_snaps = t_fast.current_snapshot().snapshot_id
+    rows2 = spark.range(100, 150).select(
+        F.col("id").alias("k"), F.lit("x").alias("v"),
+        F.lit("I").alias("op"), F.lit(2).cast("long").alias("lsn"))
+    assert merge_batch(t_fast, rows2, [2], mode="mor",
+                       insert_only_lsn=2) is None
+    assert t_fast.current_snapshot().snapshot_id == n_snaps
+
+    # lineage carries exact insert counts with no stats job
+    recs = [r for r in t_fast.lineage_records() if r.get("insert_only")]
+    assert [r["op_counts"] for r in recs] == [{"I": 50}] * 3
+    assert all(r["batch_rows"] == 50 for r in recs)
+
+    # compaction folds the fast-path deltas identically
+    t_fast.compact(spark)
+    assert _state(t_fast) == want
