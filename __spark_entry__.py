@@ -1132,14 +1132,27 @@ def q_exact_dedup_keep(spark, sf_dir):
     NOT widened (round-6 A/B): widen_narrow_input here shuffles the
     full text twice (both branches) to parallelize a ~1-core md5 pass —
     measured net-negative at sf0.1 (0.60 -> 0.79 s) and flat at sf1.0;
-    the window/groupBy exchanges already spread the heavy work."""
+    the window/groupBy exchanges already spread the heavy work.
+
+    Round-6 sharing: both branches need the SAME md5-normalize
+    fingerprint, which was evaluated twice (a stage drill put the
+    regex+md5 pass at ~1.7 s of the ~3.4 s wall at sf1.0-scale); the
+    pass now runs once behind the standard materialization barrier and
+    is shared via exact_dedup's ``fp_col`` passthrough — both code
+    paths (operator survivor set, groupBy-count stats) are still
+    exercised and must still agree through the inner join."""
     docs = _read(spark, sf_dir, "documents")
+    with_fp = D._materialize(docs.select(
+        "doc_id", "lang", "source",
+        TX.fingerprint_md5("text").alias("_fp"),
+    ))
     groups = (
-        docs.select(TX.fingerprint_md5("text").alias("fp"), "doc_id")
+        with_fp.select(F.col("_fp").alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
     )
-    kept = D.exact_dedup(docs).select("doc_id", "lang", "source")
+    kept = D.exact_dedup(with_fp, fp_col="_fp") \
+        .select("doc_id", "lang", "source")
     # NOT broadcast: groups has one row per distinct fingerprint — same
     # order of magnitude as the corpus. Shuffle join on doc_id/keep_id;
     # AQE may still downgrade to broadcast at toy scale.

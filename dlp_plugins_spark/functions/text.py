@@ -246,17 +246,47 @@ def shingles(col, k: int = 5) -> Column:
 
 def with_shingle_set(df, text_col: str, k: int = 5,
                      out: str = "_set", id_cols: list[str] | None = None):
-    """(id_cols..., ``out``: distinct word k-shingles) with the words
-    array materialized as a projection attribute first — the per-shingle
-    lambda then references the attribute, so normalize/split run once per
-    row. Keeps only ``id_cols`` (default: all other columns)."""
+    """(id_cols..., ``out``: distinct word k-shingles, first-occurrence
+    order). Keeps only ``id_cols`` (default: all other columns).
+
+    Kernel shape (guide §4.2, round 6): the shingle set is built inside
+    one Arrow-batched pandas UDF — C-level split/join + an order-
+    preserving dict dedup — replacing the interpreted JVM
+    ``transform``/``slice``/``array_join`` pipeline that a stage drill
+    measured at ~1.8 s per 50k docs (the dominant cost of the minhash
+    signature). Only the text column crosses the boundary; downstream
+    hashing (xxhash64 etc.) stays JVM-side, so signatures are
+    bit-identical. String parity: ``py_normalize_text`` is the tested
+    Java-regex mirror, and join/split agree on the engine's ASCII text
+    domain. NULL text yields a NULL array and fewer-than-k-word docs an
+    EMPTY array — exactly the expression form's semantics (explode
+    drops both; explode_outer distinguishes them)."""
     keep = id_cols if id_cols is not None else [
         c for c in df.columns if c != text_col
     ]
-    wdf = df.select(*keep, F.split(normalize_text(text_col), " ").alias("_w"))
-    return wdf.select(
-        *keep, F.array_distinct(shingles_of_words("_w", k)).alias(out)
-    )
+    kk = int(k)
+
+    @F.pandas_udf("array<string>")
+    def _shingles(texts: pd.Series) -> pd.Series:
+        from dlp_plugins_spark.operators.decontaminate import (
+            py_normalize_text,
+        )
+
+        res = []
+        for t in texts:
+            if t is None:
+                res.append(None)
+                continue
+            w = py_normalize_text(t).split(" ")
+            n = len(w)
+            if n < kk:
+                res.append([])
+                continue
+            res.append(list(dict.fromkeys(
+                " ".join(w[i:i + kk]) for i in range(n - kk + 1))))
+        return pd.Series(res)
+
+    return df.select(*keep, _shingles(F.col(text_col)).alias(out))
 
 
 def winnow_fingerprints(df, text_col: str = "text", k: int = 8, w: int = 16,
@@ -481,12 +511,62 @@ def top_ngrams(df, text_col: str = "text", n: int = 3, k: int = 20,
     per-group top-k windows the COUNT table (distinct grams), never
     the corpus. Returns (group?, ngram, n_occurrences, rank)."""
     gcols = [group_col] if group_col else []
+    # Kernel shape (guide §2.3 + §4.2, round 6): per-partition Counter
+    # partial aggregation inside mapInPandas — gram strings are built
+    # with C-level split/join (the interpreted JVM slice/array_join
+    # transform dominated the wall) and the exchange carries one
+    # (group, gram, partial count) row per distinct gram per BATCH
+    # instead of one row per occurrence. The final groupBy sums exact
+    # integer partials, so counts — and everything ranked from them —
+    # are identical; the normalization mirror is py_normalize_text,
+    # the tested oracle mirror.
+    from dlp_plugins_spark.operators.decontaminate import py_normalize_text
+
+    nn = int(n)
+    if group_col:
+        gtype = df.schema[group_col].dataType.simpleString()
+        out_schema = f"`{group_col}` {gtype}, ngram string, _c long"
+    else:
+        out_schema = "ngram string, _c long"
+
+    def _partials(batches):
+        from collections import Counter
+
+        def count_into(cnt, texts):
+            for t in texts:
+                if not isinstance(t, str):
+                    continue
+                w = py_normalize_text(t).split(" ")
+                if len(w) < nn:
+                    continue
+                cnt.update(
+                    " ".join(w[i:i + nn]) for i in range(len(w) - nn + 1))
+
+        for pdf in batches:
+            if group_col:
+                for gv, sub in pdf.groupby(group_col, dropna=False):
+                    cnt = Counter()
+                    count_into(cnt, sub["_t"])
+                    if cnt:
+                        yield pd.DataFrame({
+                            group_col: [gv] * len(cnt),
+                            "ngram": list(cnt.keys()),
+                            "_c": list(cnt.values()),
+                        })
+            else:
+                cnt = Counter()
+                count_into(cnt, pdf["_t"])
+                if cnt:
+                    yield pd.DataFrame({
+                        "ngram": list(cnt.keys()),
+                        "_c": list(cnt.values()),
+                    })
+
     wdf = widen_narrow_input(df).select(
-        *gcols, F.split(normalize_text(text_col), " ").alias("_w"))
-    grams = wdf.select(*gcols,
-                       F.explode(shingles_of_words("_w", n)).alias("ngram"))
+        *gcols, F.col(text_col).alias("_t"))
+    grams = wdf.mapInPandas(_partials, schema=out_schema)
     counts = grams.groupBy(*gcols, "ngram") \
-        .agg(F.count("*").alias("n_occurrences")) \
+        .agg(F.sum("_c").alias("n_occurrences")) \
         .filter(F.col("n_occurrences") >= min_count)
     if group_col:
         from pyspark.sql.window import Window

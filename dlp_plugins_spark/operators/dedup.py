@@ -60,16 +60,30 @@ def _materialize(df: DataFrame) -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id", fp_col: str | None = None) -> DataFrame:
     """Keep one representative (min id) per exact normalized-content match.
-    Equivalent SQL: GROUP BY md5(normalized) -> min(id) -> semi-join."""
-    fp = fingerprint_md5(text_col).alias("_fp")
-    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    Equivalent SQL: GROUP BY md5(normalized) -> arg_min(row, id).
+
+    ``fp_col``: name of a precomputed fingerprint column — callers that
+    also need per-group stats (the entry's keep+stats query) compute
+    the md5-normalize pass ONCE behind a barrier and share it, instead
+    of paying the regex battery in every branch.
+
+    Shape (guide §2.3): one groupBy with an algebraic ``min_by`` —
+    map-side partial aggregation pre-combines duplicate groups per
+    input partition, so the exchange carries at most one candidate row
+    per (partition, fingerprint). The previous ``row_number`` window
+    form shuffled EVERY row to sort whole duplicate groups just to keep
+    rank 1 — same result, strictly more shuffle bytes, and a hot
+    fingerprint (boilerplate duplicated millions of times) landed on
+    one sort task instead of being pre-reduced map-side."""
+    d = df if fp_col else df.withColumn("_fp", fingerprint_md5(text_col))
+    fpc = fp_col or "_fp"
+    row = F.struct(*[F.col(c) for c in df.columns])
     return (
-        df.withColumn("_fp", fp)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_fp", "_rn")
+        d.groupBy(fpc)
+        .agg(F.min_by(row, F.col(id_col)).alias("_r"))
+        .select("_r.*")
     )
 
 
@@ -270,29 +284,61 @@ def char_ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                              n: int = 3) -> DataFrame:
     """Exact character-n-gram Jaccard for given (a_id, b_id) pairs —
     the finer-grained verifier tier (word shingles miss small in-word
-    edits). Same candidate-pruned shape as exact_jaccard_pairs."""
+    edits). Same candidate-pruned shape as exact_jaccard_pairs.
+
+    Kernel shape (guide §4.2, round 6): per-pair set intersection runs
+    in ONE Arrow-batched pandas kernel over the two raw texts, with the
+    gram set memoized per distinct text within each batch — C-level
+    frozenset ops replace interpreted ``array_intersect``/``array_union``
+    over ~hundreds-of-string arrays per pair, which a drill showed
+    dominating the verify wall on template-heavy corpora (10^4-10^5
+    candidate pairs). The pair join also now moves the ~text bytes per
+    side instead of the (larger) materialized gram arrays. Byte-
+    identical: grams are lowercase char slices (ASCII domain), jaccard
+    is an integer-ratio double, and NULL/short texts yield 0.0 exactly
+    as the expression form did."""
     cand_ids = (
         pairs.select(F.col("a_id").alias(id_col))
         .union(pairs.select(F.col("b_id").alias(id_col)))
         .distinct()
     )
     needed = df.join(cand_ids, on=id_col, how="left_semi")
-    # same both-sides-reference shape as exact_jaccard_pairs
-    sets_df = char_ngram_set(
-        needed.select(F.col(id_col).alias("_id"), text_col),
-        text_col, n=n, out="_set", id_cols=["_id"],
-    ).transform(_materialize)
-    a, b = sets_df.alias("ga"), sets_df.alias("gb")
+    # both join sides reference the pruned texts; size ∝ candidate docs
+    txt = needed.select(F.col(id_col).alias("_id"),
+                        F.col(text_col).alias("_t")) \
+        .transform(_materialize)
+    a, b = txt.alias("ga"), txt.alias("gb")
     joined = (
         pairs.join(a, pairs.a_id == F.col("ga._id"))
         .join(b, pairs.b_id == F.col("gb._id"))
     )
-    inter = F.size(F.array_intersect(F.col("ga._set"), F.col("gb._set")))
-    union = F.size(F.array_union(F.col("ga._set"), F.col("gb._set")))
+    nn = int(n)
+
+    @F.pandas_udf("double")
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def gs(t):
+            s = cache.get(t)
+            if s is None:
+                if not isinstance(t, str) or len(t) < nn:
+                    s = frozenset()
+                else:
+                    tl = t.lower()
+                    s = frozenset(tl[i:i + nn]
+                                  for i in range(len(tl) - nn + 1))
+                cache[t] = s
+            return s
+
+        out = []
+        for x, y in zip(ta, tb):
+            sa, sb = gs(x), gs(y)
+            u = len(sa | sb)
+            out.append(len(sa & sb) / u if u else 0.0)
+        return pd.Series(out, dtype="float64")
+
     return joined.select(
-        "a_id", "b_id",
-        F.when(union > 0, inter.cast("double") / union)
-        .otherwise(F.lit(0.0)).alias("jaccard"),
+        "a_id", "b_id", _jac(F.col("ga._t"), F.col("gb._t")).alias("jaccard")
     )
 
 
