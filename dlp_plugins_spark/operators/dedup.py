@@ -102,43 +102,75 @@ def duplicate_groups_exact(df: DataFrame, text_col: str = "text",
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       shingle_k: int = 5, seed: int = 42) -> DataFrame:
-    """(id, `_minhash: array<bigint>` of length num_perm), JVM-side.
+    """(id, `_minhash: array<bigint>` of length num_perm).
 
-    h_i(S) = min over shingles s of xxhash64(xxhash64(s), i, seed).
+    h_i(S) = min over shingles s of xxhash64(xxhash64(s), i, seed) —
+    exactly Spark's ``xxhash64`` bits (the hash family must be a full
+    avalanche re-hash, NOT an affine (a*h+b) mod p "permutation":
+    unless the product wraps the modulus many times the latter is
+    near-order-preserving in h, so every permutation picks the same
+    argmin and the Jaccard estimate degenerates).
 
-    Shape: explode shingle hashes once, then num_perm ``min`` aggregations
-    per id. Two deliberate choices for scale/correctness:
-    - NOT an array-expression fan-out (array_min(transform(...)) x 64):
-      Catalyst's projection collapse would inline the shingle pipeline
-      into every permutation, recomputing the split/slice/join string
-      work 64x per row. The explode+groupBy form computes shingles once
-      and the mins are map-side partially aggregated (skew-immune).
-    - NOT an affine (a*h+b) mod p "permutation": unless the product
-      wraps the modulus many times it is near-order-preserving in h, so
-      every permutation picks the same argmin and the Jaccard estimate
-      degenerates. A full avalanche re-hash (xxhash64 with the
-      permutation index as seed material) is a proper family.
+    Kernel shape (guide §4.2, round 6): the whole signature — shingle
+    set, per-shingle hash, num_perm re-hash + min — runs inside ONE
+    Arrow-batched pandas kernel on the numpy XXH64 mirror
+    (``functions/xxh64.py``, property-tested bit-identical to
+    ``F.xxhash64``). The previous JVM form (explode shingle hashes ->
+    64 ``min`` aggregations) was 3 stages of expression machinery over
+    ~50x-exploded rows; the kernel emits one row per document and
+    needs no aggregation at all. The min is over SIGNED longs (int64
+    view), matching ``F.min`` on LongType.
 
     Rows with fewer than ``shingle_k`` words have no shingles and drop
-    out (they cannot near-duplicate anything at this granularity)."""
+    out (they cannot near-duplicate anything at this granularity);
+    NULL text likewise — both mirrored from the explode-drops-empty
+    semantics of the expression form."""
     from dlp_plugins_spark.functions.text import widen_narrow_input
+    from dlp_plugins_spark.functions.xxh64 import (
+        hash_bytes, hash_int, hash_long,
+    )
 
-    sets_df = with_shingle_set(widen_narrow_input(df), text_col,
-                               k=shingle_k, out="_set", id_cols=[id_col])
-    exploded = sets_df.select(
-        F.col(id_col),
-        F.explode(F.transform(F.col("_set"), lambda s: F.xxhash64(s)))
-        .alias("_h"),
-    )
-    aggs = [
-        F.min(F.xxhash64(F.col("_h"), F.lit(i), F.lit(seed))).alias(f"_mh{i}")
-        for i in range(num_perm)
-    ]
-    sig = exploded.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_mh{i}") for i in range(num_perm)]).alias("_minhash"),
-    )
+    kk = int(shingle_k)
+    n_perm = int(num_perm)
+    seed_i = int(seed)
+
+    @F.pandas_udf("array<bigint>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        from dlp_plugins_spark.operators.decontaminate import (
+            py_normalize_text,
+        )
+
+        flat: list = []
+        offsets: list = []
+        doc_pos: list = []          # output slot of each non-empty doc
+        for pos, t in enumerate(texts):
+            if t is None:
+                continue
+            w = py_normalize_text(t).split(" ")
+            n = len(w)
+            if n < kk:
+                continue
+            sh = dict.fromkeys(
+                " ".join(w[i:i + kk]) for i in range(n - kk + 1))
+            offsets.append(len(flat))
+            doc_pos.append(pos)
+            flat.extend(s.encode("utf-8") for s in sh)
+        res = [None] * len(texts)
+        if flat:
+            h = hash_bytes(flat, 42)            # xxhash64(s), uint64 bits
+            base = hash_long(h, 42)             # chain start, seed 42
+            off = np.asarray(offsets, dtype=np.intp)
+            sigs = np.empty((len(off), n_perm), dtype=np.int64)
+            for i in range(n_perm):
+                p = hash_int(seed_i, hash_int(i, base)).view(np.int64)
+                sigs[:, i] = np.minimum.reduceat(p, off)
+            for j, pos in enumerate(doc_pos):
+                res[pos] = sigs[j].tolist()
+        return pd.Series(res, dtype=object)
+
+    return widen_narrow_input(df).select(
+        F.col(id_col), _sig(F.col(text_col)).alias("_minhash")
+    ).filter(F.col("_minhash").isNotNull())
 
 
 def minhash_band_rows(df: DataFrame, id_col: str = "doc_id",

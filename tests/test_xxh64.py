@@ -1,0 +1,109 @@
+"""Property tests for the numpy XXH64 mirror (functions/xxh64.py).
+
+The minhash signature kernel's whole claim is BIT-IDENTITY with
+Spark's ``xxhash64`` expression — these tests check it empirically
+against Spark itself (every byte length through both tail paths and
+the 32-byte-block path, non-ASCII code points, the long/int seed
+chains the signature and band hashes use), plus the end-to-end
+equivalence of ``minhash_signature`` with the retired JVM
+explode+aggregate form on a corpus with every edge shape.
+"""
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dlp_plugins_spark.functions.xxh64 import hash_bytes, hash_int, hash_long
+
+
+@pytest.fixture(scope="module")
+def rnd():
+    return random.Random(20260822)
+
+
+def test_hash_bytes_matches_spark_all_lengths(spark, rnd):
+    strs = []
+    for length in range(0, 120):           # covers <32 and >=32 paths
+        strs.append("".join(
+            rnd.choice("abcdefghij klmnop0123") for _ in range(length)))
+    for _ in range(100):                   # multi-byte UTF-8
+        length = rnd.randrange(0, 150)
+        strs.append("".join(
+            chr(rnd.randrange(32, 0x2FF)) for _ in range(length)))
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "i long, s string")
+    want = {r["i"]: r["h"]
+            for r in df.select("i", F.xxhash64("s").alias("h")).collect()}
+    got = hash_bytes([s.encode("utf-8") for s in strs], 42)
+    for i in range(len(strs)):
+        assert np.int64(got[i]) == want[i], (i, strs[i])
+
+
+def test_perm_chain_matches_spark(spark, rnd):
+    """xxhash64(long, lit(i), lit(seed)) — the minhash permutation."""
+    vals = [rnd.getrandbits(64) - (1 << 63) for _ in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    base = hash_long(np.array(vals, dtype=np.int64).astype(np.uint64), 42)
+    for i in (0, 1, 31, 63):
+        want = {r["v"]: r["h"] for r in df.select(
+            "v", F.xxhash64(F.col("v"), F.lit(i), F.lit(42)).alias("h")
+        ).collect()}
+        got = hash_int(42, hash_int(i, base))
+        for j, v in enumerate(vals):
+            assert np.int64(got[j]) == want[v]
+
+
+def test_band_chain_matches_spark(spark, rnd):
+    """xxhash64(lit(band_idx), sig..sig) — the band hash."""
+    rows = [[rnd.getrandbits(64) - (1 << 63) for _ in range(4)]
+            for _ in range(100)]
+    df = spark.createDataFrame(
+        [tuple(r) for r in rows], "a long, b long, c long, d long")
+    arr = np.array(rows, dtype=np.int64).astype(np.uint64)
+    for bi in (0, 7, 15):
+        want = [r["h"] for r in df.select(
+            F.xxhash64(F.lit(bi), "a", "b", "c", "d").alias("h")).collect()]
+        h = hash_int(bi, np.full(len(rows), 42, dtype=np.uint64))
+        for c in range(4):
+            h = hash_long(arr[:, c], h)
+        for j in range(len(rows)):
+            assert np.int64(h[j]) == want[j]
+
+
+def test_minhash_signature_equals_jvm_form(spark, rnd):
+    """End-to-end: the Arrow signature kernel must emit exactly the
+    rows and arrays of the explode + 64-min-aggregation JVM form it
+    replaced (including dropping NULL and <k-word docs)."""
+    from dlp_plugins_spark.functions.text import with_shingle_set
+    from dlp_plugins_spark.operators.dedup import minhash_signature
+
+    words = ["alpha", "beta", "Gamma,", "delta9", "x", "LONGERWORD",
+             "q-q", "r.r", "s;s"]
+    docs = [(0, None), (1, ""), (2, "one two three four"),
+            (3, "one two three four five"),
+            (4, "  Mixed   CASE  with,punct! and     runs  of space 1 2 3")]
+    for i in range(5, 60):
+        docs.append((i, " ".join(
+            rnd.choice(words) for _ in range(rnd.randrange(0, 40)))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    num_perm, k, seed = 16, 3, 42
+    sets_df = with_shingle_set(df, "text", k=k, out="_set",
+                               id_cols=["doc_id"])
+    exploded = sets_df.select(
+        F.col("doc_id"),
+        F.explode(F.transform(F.col("_set"), lambda s: F.xxhash64(s)))
+        .alias("_h"))
+    aggs = [F.min(F.xxhash64(F.col("_h"), F.lit(i), F.lit(seed)))
+            .alias(f"_mh{i}") for i in range(num_perm)]
+    jvm = exploded.groupBy("doc_id").agg(*aggs).select(
+        "doc_id",
+        F.array(*[F.col(f"_mh{i}") for i in range(num_perm)])
+        .alias("_minhash"))
+
+    want = {r["doc_id"]: r["_minhash"] for r in jvm.collect()}
+    got = {r["doc_id"]: r["_minhash"] for r in minhash_signature(
+        df, num_perm=num_perm, shingle_k=k, seed=seed).collect()}
+    assert got == want
