@@ -1689,19 +1689,30 @@ def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing local fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03;
     functions/text.py:winnow_fingerprints): md5 char-8-gram hashes,
     min per 16-gram sliding window, distinct per doc — any shared
-    substring >= 23 chars between docs shares a fingerprint. Fully
-    JVM-side array expressions (no Python, no shuffle before the agg);
-    md5 makes every fingerprint bit-reproducible in DuckDB. Result is
-    the per-doc fingerprint-set summary (count + lexicographic min/max
-    — a content-sensitive digest of the whole selected set)."""
+    substring >= 23 chars between docs shares a fingerprint. The
+    vectorized md5 kernel emits each doc's distinct selected SET, so
+    the per-doc summary (count + lexicographic min/max — a content-
+    sensitive digest of the whole selected set) reads straight off the
+    array with no explode and no shuffle before the orderBy (guide
+    §2.3); md5 makes every fingerprint bit-reproducible in DuckDB.
+    Identical rows to the explode + groupBy form it replaced (the set
+    is distinct, so count(*) == size and min/max are the array's).
+    The repartition before the orderBy is load-bearing: the range
+    partitioner's sampling job re-executes its child plan, and with no
+    shuffle between kernel and sort that means running the md5 kernel
+    TWICE (the old groupBy form hid this by giving the sampler its
+    aggregation shuffle to reuse); hashing the ~tiny summary rows once
+    restores the reusable stage (measured 3.1 -> 1.8 s at 10x sf0.1)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    fps = TX.winnow_fingerprints(docs, "text", k=8, w=16)
+    sets = TX.winnow_fingerprint_sets(docs, "text", k=8, w=16)
     return (
-        fps.groupBy("doc_id").agg(
-            F.count("*").alias("n_fp"),
-            F.min("fingerprint").alias("min_fp"),
-            F.max("fingerprint").alias("max_fp"),
-        ).orderBy("doc_id")
+        sets.filter(F.size("fingerprint") > 0)
+        .select(
+            "doc_id",
+            F.size("fingerprint").cast("long").alias("n_fp"),
+            F.array_min("fingerprint").alias("min_fp"),
+            F.array_max("fingerprint").alias("max_fp"),
+        ).repartition("doc_id").orderBy("doc_id")
     )
 
 

@@ -1,0 +1,83 @@
+"""Numpy-vectorized single-block MD5 — bit-identical to ``F.md5`` /
+``hashlib.md5`` for messages under 56 bytes.
+
+The winnowing fingerprint kernel hashes every character k-gram of
+every document (k=8 by default): millions of tiny fixed-length
+messages per task. Each such message fits one 64-byte MD5 block whose
+padding/length words are constants, so the whole batch runs as 64
+rounds of uint32 lane arithmetic instead of per-gram digest calls.
+Property-tested against ``hashlib.md5`` in ``tests/test_md5vec.py``.
+
+``md5_fixed_len`` returns the 16-byte digests as TWO uint64 columns
+(big-endian halves): their (hi, lo) lexicographic order equals the
+lexicographic order of the hex strings ``F.md5`` produces (hex is a
+monotone per-byte encoding), which is what lets window minima compare
+numbers instead of 32-char strings. ``hex_digest`` renders the exact
+hex form when a value leaves the kernel.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+_S = ([7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4
+      + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4)
+_K = [int(abs(math.sin(i + 1)) * 2 ** 32) & 0xFFFFFFFF for i in range(64)]
+_G = ([i for i in range(16)] + [(5 * i + 1) % 16 for i in range(16, 32)]
+      + [(3 * i + 5) % 16 for i in range(32, 48)]
+      + [(7 * i) % 16 for i in range(48, 64)])
+
+_U32 = np.uint32
+
+
+def md5_fixed_len(msgs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """MD5 of each row of an (n, L) uint8 matrix, L < 56 (single
+    block). Returns (hi, lo): the digest's first/last 8 bytes as
+    big-endian uint64 — (hi, lo) order == hex-string order."""
+    n, length = msgs.shape
+    if length >= 56:
+        raise ValueError("single-block fast path requires length < 56")
+    block = np.zeros((n, 64), dtype=np.uint8)
+    block[:, :length] = msgs
+    block[:, length] = 0x80
+    bits = length * 8
+    block[:, 56] = bits & 0xFF
+    block[:, 57] = (bits >> 8) & 0xFF
+    m = block.view(np.uint32)                      # (n, 16) little-endian
+
+    a = np.full(n, 0x67452301, dtype=_U32)
+    b = np.full(n, 0xEFCDAB89, dtype=_U32)
+    c = np.full(n, 0x98BADCFE, dtype=_U32)
+    d = np.full(n, 0x10325476, dtype=_U32)
+    a0, b0, c0, d0 = a.copy(), b.copy(), c.copy(), d.copy()
+    for i in range(64):
+        if i < 16:
+            f = (b & c) | (~b & d)
+        elif i < 32:
+            f = (d & b) | (~d & c)
+        elif i < 48:
+            f = b ^ c ^ d
+        else:
+            f = c ^ (b | ~d)
+        f = f + a + _U32(_K[i]) + m[:, _G[i]]
+        s = _U32(_S[i])
+        a, d, c = d, c, b
+        b = c + ((f << s) | (f >> (_U32(32) - s)))
+    a, b, c, d = a + a0, b + b0, c + c0, d + d0
+    # digest bytes are the LE rendering of a,b,c,d; pack big-endian halves
+    dig = np.empty((n, 16), dtype=np.uint8)
+    for j, w in enumerate((a, b, c, d)):
+        dig[:, 4 * j + 0] = (w & _U32(0xFF)).astype(np.uint8)
+        dig[:, 4 * j + 1] = ((w >> _U32(8)) & _U32(0xFF)).astype(np.uint8)
+        dig[:, 4 * j + 2] = ((w >> _U32(16)) & _U32(0xFF)).astype(np.uint8)
+        dig[:, 4 * j + 3] = ((w >> _U32(24)) & _U32(0xFF)).astype(np.uint8)
+    be = dig.view(np.dtype(">u8"))                 # (n, 2) big-endian
+    return be[:, 0].astype(np.uint64), be[:, 1].astype(np.uint64)
+
+
+def hex_digest(hi: int, lo: int) -> str:
+    """Hex string of a (hi, lo) digest pair — exactly ``F.md5``'s
+    lowercase 32-char form."""
+    return f"{int(hi):016x}{int(lo):016x}"

@@ -300,69 +300,136 @@ def winnow_fingerprints(df, text_col: str = "text", k: int = 8, w: int = 16,
     to share a selected fingerprint, which makes the distinct-min set
     the standard local fingerprint for plagiarism/near-dup detection.
 
-    Engine shape (100 TB): everything is JVM-side array expressions over
-    ``lower(text)`` — one md5 per gram inside a ``transform`` lambda
-    over a materialized text attribute (the lambda-inlining trap
-    documented at ``shingles_of_words`` applies here too), window mins
-    via ``array_min(slice(...))`` (O(n*w) per doc, no shuffle), distinct
-    + explode to (id, fingerprint) rows. md5 is used instead of
-    xxhash64 so DuckDB reproduces the exact fingerprints (oracle
-    parity). Documents shorter than k grams emit no fingerprints; with
-    fewer than ``w`` grams the single overall min is emitted (window
-    clamp).
+    Kernel shape (guide §4.2, round 6): grams are md5-hashed by the
+    vectorized single-block kernel (``functions/md5vec.py`` — the k-gram
+    windows of a whole batch run as one 64-round uint32 lane pass) and
+    window minima run as an O(n log w) doubling ladder over the
+    digests' (hi, lo) uint64 halves — big-endian digest order equals
+    ``F.md5`` hex-string order, so the selected set is EXACTLY what the
+    retired per-gram ``F.md5`` + least-tree expression form selected
+    (equivalence is test-pinned in ``tests/test_md5vec.py``), at none
+    of its per-window compare cost. md5 (not xxhash64) so DuckDB
+    reproduces the exact fingerprints (oracle parity). ``F.lower`` runs
+    JVM-side BEFORE the kernel, so case folding stays Spark's; a
+    non-ASCII lowered text falls back to an exact per-doc hashlib
+    mirror (character grams == byte grams only holds for ASCII).
 
-    Returns (id_cols..., ``out``) — one row per distinct selected
-    fingerprint per document.
+    Documents shorter than k grams emit no fingerprints (NULL text
+    likewise); with fewer than ``w`` grams the single overall min is
+    emitted (window clamp). Returns (id_cols..., ``out``) — one row per
+    distinct selected fingerprint per document, first-occurrence order.
+
+    ``winnow_fingerprint_sets`` exposes the pre-explode form — one row
+    per document with the distinct selected set as an array — for
+    callers whose downstream is a per-document aggregate (count /
+    min / max of the set): they read it straight off the array with no
+    explode and no shuffle (guide §2.3 "aggregate before you
+    shuffle").
     """
+    sets = winnow_fingerprint_sets(df, text_col, k, w, id_cols, out)
+    return sets.select(
+        *[c for c in sets.columns if c != out],
+        F.explode(F.col(out)).alias(out))
+
+
+def winnow_fingerprint_sets(df, text_col: str = "text", k: int = 8,
+                            w: int = 16, id_cols: list[str] | None = None,
+                            out: str = "fingerprint"):
+    """Per-document winnowing fingerprint SET (see
+    ``winnow_fingerprints``): (id_cols..., ``out``: array<string> of
+    the distinct selected md5 fingerprints, first-occurrence order;
+    empty for NULL/short docs)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from dlp_plugins_spark.functions.md5vec import hex_digest, md5_fixed_len
+
     keep = id_cols if id_cols is not None else [
         c for c in df.columns if c != text_col
     ]
-    df = widen_narrow_input(df)
-    tdf = df.select(*keep, F.lower(F.col(text_col)).alias("_t"))
-    n_grams = F.length(F.col("_t")) - F.lit(k) + F.lit(1)
-    # NULL text must emit NO rows (same convention as short docs, and what
-    # the DuckDB oracle produces): n_grams is NULL for NULL text, so the
-    # `< 1` test alone is NULL and would fall through to the otherwise
-    # branch, yielding a spurious [md5(NULL)] = [NULL] fingerprint.
-    hdf = tdf.select(
-        *keep,
-        F.when(
-            n_grams.isNull() | (n_grams < 1), F.array().cast("array<string>")
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-                lambda i: F.md5(F.col("_t").substr(i, F.lit(k))),
-            )
-        ).alias("_h"),
-    )
-    n_h = F.size(F.col("_h"))
-    n_wins = n_h - F.lit(w) + F.lit(1)
+    kk, ww = int(k), int(w)
 
-    def _least_tree(j, lo, hi):
-        # min over element_at(_h, j+lo..j+hi) as a balanced F.least
-        # tree: identical value to array_min(slice(_h, j, w)) (min is
-        # associative/commutative; no nulls — md5 of a substring is
-        # never null), but w-1 direct comparisons with NO per-window
-        # slice allocation — measured ~2x faster at sf1.0 (the window
-        # stage dominated the fingerprint kernel, guide §1.2 step 2)
-        if lo == hi:
-            return F.element_at(F.col("_h"), (j + F.lit(lo)).cast("int"))
-        mid = (lo + hi) // 2
-        return F.least(_least_tree(j, lo, mid), _least_tree(j, mid + 1, hi))
+    def _pair_min(h1, l1, h2, l2):
+        take2 = (h2 < h1) | ((h2 == h1) & (l2 < l1))
+        return np.where(take2, h2, h1), np.where(take2, l2, l1)
 
-    wins = (
-        F.when(n_h.isNull() | (n_h < 1), F.array().cast("array<string>"))
-        .when(n_h < w, F.array(F.array_min(F.col("_h"))))
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
-                lambda j: _least_tree(j, 0, w - 1),
-            )
-        )
-    )
-    return hdf.select(
-        *keep, F.explode(F.array_distinct(wins)).alias(out)
-    )
+    def _window_min(hi, lo, width):
+        # sparse-table doubling: O(n log w), exact min per window
+        p = 1
+        while p * 2 <= width:
+            hi, lo = _pair_min(hi[:-p], lo[:-p], hi[p:], lo[p:])
+            p *= 2
+        if p < width:
+            d = width - p
+            hi, lo = _pair_min(hi[:-d], lo[:-d], hi[d:], lo[d:])
+        return hi, lo
+
+    def _select(hi, lo, n_h):
+        if n_h < ww:
+            m_hi, m_lo = _window_min(hi, lo, n_h)
+        else:
+            m_hi, m_lo = _window_min(hi, lo, ww)
+        sel = np.stack([m_hi, m_lo], axis=1)
+        _, first = np.unique(sel, axis=0, return_index=True)
+        first.sort()
+        return [hex_digest(sel[i, 0], sel[i, 1]) for i in first]
+
+    def _py_doc(t):
+        # exact mirror for non-ASCII lowered text: character k-grams,
+        # hex digests, lexicographic window minima
+        n_h = len(t) - kk + 1
+        hx = [hashlib.md5(t[i:i + kk].encode("utf-8")).hexdigest()
+              for i in range(n_h)]
+        if n_h < ww:
+            sel = [min(hx)]
+        else:
+            sel = [min(hx[j:j + ww]) for j in range(n_h - ww + 1)]
+        return list(dict.fromkeys(sel))
+
+    @F.pandas_udf("array<string>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        bufs: list = []
+        lens: list = []
+        slots: list = []
+        res: list = [[] for _ in range(len(texts))]
+        for pos, t in enumerate(texts):
+            if t is None or len(t) < kk:
+                continue
+            if t.isascii():
+                bufs.append(np.frombuffer(t.encode("ascii"), dtype=np.uint8))
+                lens.append(len(t) - kk + 1)
+                slots.append(pos)
+            else:
+                res[pos] = _py_doc(t)
+        if bufs:
+            wins = np.vstack([
+                np.lib.stride_tricks.sliding_window_view(b, kk)
+                for b in bufs
+            ])
+            his = np.empty(len(wins), dtype=np.uint64)
+            los = np.empty(len(wins), dtype=np.uint64)
+            for s in range(0, len(wins), 1 << 20):   # bound block memory
+                e = min(s + (1 << 20), len(wins))
+                his[s:e], los[s:e] = md5_fixed_len(wins[s:e])
+            off = 0
+            for n_h, pos in zip(lens, slots):
+                res[pos] = _select(his[off:off + n_h],
+                                   los[off:off + n_h], n_h)
+                off += n_h
+        return pd.Series(res)
+
+    # asNondeterministic: stop the optimizer pushing a downstream
+    # filter on the computed set (e.g. size(...) > 0) below the
+    # projection and evaluating the whole kernel twice — guide §4.4,
+    # observed as two ArrowEvalPython nodes (one below the widen
+    # exchange, on 1-2 cores). The kernel IS deterministic; the mark
+    # only disables reordering/duplication.
+    winnow_udf = _winnow.asNondeterministic()
+    tdf = widen_narrow_input(df).select(
+        *keep, F.lower(F.col(text_col)).alias("_t"))
+    return tdf.select(*keep, winnow_udf(F.col("_t")).alias(out))
 
 
 def repetition_features(df, text_col: str = "text",

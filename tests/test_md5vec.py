@@ -1,0 +1,93 @@
+"""Property tests for the vectorized single-block MD5
+(functions/md5vec.py) and the winnowing kernel built on it.
+
+The winnow fingerprint rewrite claims BIT-IDENTITY with the retired
+JVM expression form (per-gram ``F.md5`` + least-tree window minima):
+these tests pin (a) the MD5 digests against ``hashlib`` for every
+single-block length, (b) that (hi, lo) digest order equals hex-string
+order (what lets window minima compare numbers), and (c) end-to-end
+equality of ``winnow_fingerprints`` with the expression form on a
+corpus exercising every edge shape — NULL, shorter-than-k, the
+single-window clamp (n_h < w), exact boundaries, repeated grams, and
+non-ASCII text (which takes the per-doc hashlib fallback).
+"""
+
+import hashlib
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dlp_plugins_spark.functions.md5vec import hex_digest, md5_fixed_len
+
+
+@pytest.fixture(scope="module")
+def rnd():
+    return random.Random(20260822)
+
+
+def test_md5_matches_hashlib_all_single_block_lengths(rnd):
+    for length in range(1, 56):
+        msgs = [bytes(rnd.randrange(256) for _ in range(length))
+                for _ in range(25)]
+        m = np.frombuffer(b"".join(msgs), dtype=np.uint8) \
+            .reshape(len(msgs), length)
+        hi, lo = md5_fixed_len(m)
+        for i, s in enumerate(msgs):
+            assert hex_digest(hi[i], lo[i]) == hashlib.md5(s).hexdigest()
+
+
+def test_digest_pair_order_equals_hex_order(rnd):
+    msgs = [bytes(rnd.randrange(256) for _ in range(8)) for _ in range(500)]
+    m = np.frombuffer(b"".join(msgs), dtype=np.uint8).reshape(len(msgs), 8)
+    hi, lo = md5_fixed_len(m)
+    pairs = sorted(range(len(msgs)), key=lambda i: (int(hi[i]), int(lo[i])))
+    hexes = sorted(range(len(msgs)),
+                   key=lambda i: hashlib.md5(msgs[i]).hexdigest())
+    assert pairs == hexes
+
+
+def _jvm_winnow(df, text_col="text", k=8, w=16, id_cols=None,
+                out="fingerprint"):
+    """The retired expression form, kept verbatim as the reference."""
+    keep = id_cols if id_cols is not None else [
+        c for c in df.columns if c != text_col]
+    tdf = df.select(*keep, F.lower(F.col(text_col)).alias("_t"))
+    n_grams = F.length(F.col("_t")) - F.lit(k) + F.lit(1)
+    hdf = tdf.select(
+        *keep,
+        F.when(n_grams.isNull() | (n_grams < 1),
+               F.array().cast("array<string>"))
+        .otherwise(F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.md5(F.col("_t").substr(i, F.lit(k))))).alias("_h"))
+    n_h = F.size(F.col("_h"))
+    n_wins = n_h - F.lit(w) + F.lit(1)
+    wins = (
+        F.when(n_h.isNull() | (n_h < 1), F.array().cast("array<string>"))
+        .when(n_h < w, F.array(F.array_min(F.col("_h"))))
+        .otherwise(F.transform(
+            F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+            lambda j: F.array_min(F.slice(F.col("_h"), j, w)))))
+    return hdf.select(*keep, F.explode(F.array_distinct(wins)).alias(out))
+
+
+def test_winnow_kernel_equals_jvm_form(spark, rnd):
+    from dlp_plugins_spark.functions.text import winnow_fingerprints
+
+    rows = [(1, None), (2, ""), (3, "short"), (4, "exactly8"),
+            (5, "exactly8c"), (6, "a" * 23), (7, "a" * 24),
+            (8, "abcdefgh" * 6),
+            (9, "Ünïcode tëxt with ümläuts and ß and 中文 chars " * 4),
+            (10, "MIXED Case ASCII text long enough for many windows " * 5)]
+    for i in range(11, 60):
+        n = rnd.randrange(0, 120)
+        rows.append((i, "".join(
+            rnd.choice("abcdefgh ijklmnop") for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = list(map(tuple, winnow_fingerprints(
+        df, id_cols=["doc_id"]).orderBy("doc_id", "fingerprint").collect()))
+    want = list(map(tuple, _jvm_winnow(
+        df, id_cols=["doc_id"]).orderBy("doc_id", "fingerprint").collect()))
+    assert got == want
