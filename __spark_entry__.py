@@ -1144,7 +1144,7 @@ def q_exact_dedup_keep(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     with_fp = D._materialize(docs.select(
         "doc_id", "lang", "source",
-        TX.fingerprint_md5("text").alias("_fp"),
+        TX.fingerprint_md5_kernel("text").alias("_fp"),
     ))
     groups = (
         with_fp.select(F.col("_fp").alias("fp"), "doc_id")

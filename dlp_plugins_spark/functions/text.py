@@ -223,6 +223,36 @@ def fingerprint_md5(col) -> Column:
     return F.md5(normalize_text(col))
 
 
+def fingerprint_md5_kernel(col) -> Column:
+    """``fingerprint_md5`` as an Arrow-batched kernel: the two Java
+    regex passes of ``normalize_text`` were the wall of the exact-dedup
+    fingerprint stage (a JVM regex battery over every document), while
+    the tested Python mirror (``py_normalize_text``) plus ``hashlib``
+    computes the identical hex in a fraction of the time (guide §4.2 —
+    same bytes in, same md5 out; mirror parity is what the minhash and
+    decontamination kernels already stand on). Marked non-deterministic
+    so the optimizer cannot duplicate it below pushed filters
+    (guide §4.4)."""
+    import hashlib
+
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def _fp(texts: pd.Series) -> pd.Series:
+        from dlp_plugins_spark.operators.decontaminate import (
+            py_normalize_text,
+        )
+
+        return pd.Series([
+            None if t is None else
+            hashlib.md5(py_normalize_text(t).encode("utf-8")).hexdigest()
+            for t in texts
+        ])
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _fp.asNondeterministic()(c)
+
+
 def shingles_of_words(words, k: int = 5) -> Column:
     """Word k-shingles from an already-materialized ``array<string>``
     column. ``words`` MUST be a bound column attribute (not an inline

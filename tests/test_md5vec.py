@@ -91,3 +91,28 @@ def test_winnow_kernel_equals_jvm_form(spark, rnd):
     want = list(map(tuple, _jvm_winnow(
         df, id_cols=["doc_id"]).orderBy("doc_id", "fingerprint").collect()))
     assert got == want
+
+
+def test_fingerprint_md5_kernel_equals_expression(spark, rnd):
+    """The Arrow fingerprint kernel (py_normalize_text + hashlib) must
+    emit exactly F.md5(normalize_text(...)) — including NULL
+    passthrough, whitespace collapse, punctuation stripping, and
+    non-ASCII text."""
+    from dlp_plugins_spark.functions.text import (
+        fingerprint_md5, fingerprint_md5_kernel,
+    )
+
+    rows = [(1, None), (2, ""), (3, "   "), (4, "Hello,  WORLD!!"),
+            (5, "tabs\tand\nnewlines  collapse"),
+            (6, "Ünïcode ß 中文 stripped to spaces"),
+            (7, "a1b2 c3d4 " * 40)]
+    for i in range(8, 60):
+        n = rnd.randrange(0, 200)
+        rows.append((i, "".join(rnd.choice(
+            "abcDEF 123 ,.!?\t\né中") for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", fingerprint_md5_kernel("text").alias("fp")).collect()}
+    want = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", fingerprint_md5("text").alias("fp")).collect()}
+    assert got == want
