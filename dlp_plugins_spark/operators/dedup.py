@@ -126,9 +126,6 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     NULL text likewise — both mirrored from the explode-drops-empty
     semantics of the expression form."""
     from dlp_plugins_spark.functions.text import widen_narrow_input
-    from dlp_plugins_spark.functions.xxh64 import (
-        hash_bytes, hash_int, hash_long,
-    )
 
     kk = int(shingle_k)
     n_perm = int(num_perm)
@@ -136,41 +133,100 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf("array<bigint>")
     def _sig(texts: pd.Series) -> pd.Series:
-        from dlp_plugins_spark.operators.decontaminate import (
-            py_normalize_text,
-        )
-
-        flat: list = []
-        offsets: list = []
-        doc_pos: list = []          # output slot of each non-empty doc
-        for pos, t in enumerate(texts):
-            if t is None:
-                continue
-            w = py_normalize_text(t).split(" ")
-            n = len(w)
-            if n < kk:
-                continue
-            sh = dict.fromkeys(
-                " ".join(w[i:i + kk]) for i in range(n - kk + 1))
-            offsets.append(len(flat))
-            doc_pos.append(pos)
-            flat.extend(s.encode("utf-8") for s in sh)
+        doc_pos, sigs = _sig_matrix(texts, kk, n_perm, seed_i)
         res = [None] * len(texts)
-        if flat:
-            h = hash_bytes(flat, 42)            # xxhash64(s), uint64 bits
-            base = hash_long(h, 42)             # chain start, seed 42
-            off = np.asarray(offsets, dtype=np.intp)
-            sigs = np.empty((len(off), n_perm), dtype=np.int64)
-            for i in range(n_perm):
-                p = hash_int(seed_i, hash_int(i, base)).view(np.int64)
-                sigs[:, i] = np.minimum.reduceat(p, off)
-            for j, pos in enumerate(doc_pos):
-                res[pos] = sigs[j].tolist()
+        for j, pos in enumerate(doc_pos):
+            res[pos] = sigs[j].tolist()
         return pd.Series(res, dtype=object)
 
     return widen_narrow_input(df).select(
-        F.col(id_col), _sig(F.col(text_col)).alias("_minhash")
+        F.col(id_col), _sig.asNondeterministic()(F.col(text_col))
+        .alias("_minhash")
     ).filter(F.col("_minhash").isNotNull())
+
+
+def _sig_matrix(texts, kk: int, n_perm: int, seed_i: int):
+    """Batch worker for the minhash kernels: returns (doc_pos, sigs) —
+    the input positions of non-empty docs and their (m, n_perm) int64
+    signature matrix. Bits identical to the JVM expression chain
+    (``tests/test_xxh64.py``)."""
+    from dlp_plugins_spark.functions.xxh64 import (
+        hash_bytes, hash_int, hash_long,
+    )
+    from dlp_plugins_spark.operators.decontaminate import py_normalize_text
+
+    flat: list = []
+    offsets: list = []
+    doc_pos: list = []              # output slot of each non-empty doc
+    for pos, t in enumerate(texts):
+        if t is None:
+            continue
+        w = py_normalize_text(t).split(" ")
+        n = len(w)
+        if n < kk:
+            continue
+        sh = dict.fromkeys(" ".join(w[i:i + kk]) for i in range(n - kk + 1))
+        offsets.append(len(flat))
+        doc_pos.append(pos)
+        flat.extend(s.encode("utf-8") for s in sh)
+    if not flat:
+        return doc_pos, np.empty((0, n_perm), dtype=np.int64)
+    h = hash_bytes(flat, 42)                # xxhash64(s), uint64 bits
+    base = hash_long(h, 42)                 # chain start, seed 42
+    off = np.asarray(offsets, dtype=np.intp)
+    sigs = np.empty((len(off), n_perm), dtype=np.int64)
+    for i in range(n_perm):
+        p = hash_int(seed_i, hash_int(i, base)).view(np.int64)
+        sigs[:, i] = np.minimum.reduceat(p, off)
+    return doc_pos, sigs
+
+
+def minhash_band_rows_from_text(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id", num_perm: int = 64,
+                                bands: int = 16, shingle_k: int = 5,
+                                seed: int = 42) -> DataFrame:
+    """Fused signature + band hashing: ``minhash_band_rows(
+    minhash_signature(df))`` computed inside ONE Arrow kernel —
+    the ``_minhash`` array never crosses back to the JVM and the
+    per-band ``xxhash64`` chain runs as vectorized lanes
+    (``functions/xxh64.py``; the chain is property-tested bit-identical
+    to the JVM band expression). Both the ingest-time index writer
+    (``operators/incremental.py``) and the in-batch LSH self-join build
+    from THIS function, so index rows and probe rows keep hashing
+    identically — the sharing guarantee ``minhash_band_rows``
+    documents, preserved under fusion."""
+    from dlp_plugins_spark.functions.text import widen_narrow_input
+    from dlp_plugins_spark.functions.xxh64 import hash_int, hash_long
+
+    kk = int(shingle_k)
+    n_perm = int(num_perm)
+    n_bands = int(bands)
+    seed_i = int(seed)
+    rpb = n_perm // n_bands
+
+    @F.pandas_udf("array<bigint>")
+    def _bands(texts: pd.Series) -> pd.Series:
+        doc_pos, sigs = _sig_matrix(texts, kk, n_perm, seed_i)
+        res = [None] * len(texts)
+        if len(doc_pos):
+            u = sigs.view(np.uint64)
+            bh = np.empty((len(doc_pos), n_bands), dtype=np.int64)
+            for bi in range(n_bands):
+                hh = hash_int(bi, np.full(len(doc_pos), 42, dtype=np.uint64))
+                for r in range(rpb):
+                    hh = hash_long(u[:, bi * rpb + r], hh)
+                bh[:, bi] = hh.view(np.int64)
+            for j, pos in enumerate(doc_pos):
+                res[pos] = bh[j].tolist()
+        return pd.Series(res, dtype=object)
+
+    rows = widen_narrow_input(df).select(
+        F.col(id_col), _bands.asNondeterministic()(F.col(text_col))
+        .alias("_bands")
+    ).filter(F.col("_bands").isNotNull())
+    return rows.select(
+        id_col, F.posexplode("_bands").alias("_band_idx", "_band_hash")
+    )
 
 
 def minhash_band_rows(df: DataFrame, id_col: str = "doc_id",
@@ -199,15 +255,19 @@ def minhash_band_rows(df: DataFrame, id_col: str = "doc_id",
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
-                           num_perm: int = 64, bands: int = 16) -> DataFrame:
+                           num_perm: int = 64, bands: int = 16,
+                           band_rows: DataFrame | None = None) -> DataFrame:
     """Banded LSH: rows sharing any band hash become candidate pairs
-    (a_id < b_id). Input must carry `_minhash`."""
+    (a_id < b_id). Input must carry `_minhash` — or pass precomputed
+    ``band_rows`` (e.g. from ``minhash_band_rows_from_text``) and the
+    signature step is skipped."""
     # materialize the band index once: both sides of the self-join below
     # would otherwise re-evaluate the upstream signature pipeline (the
     # shingle explode + 64 min-aggregations) — the same
     # build-the-index-then-query shape as winnow_near_dup_pairs.
     # Band rows are (id, int, long) — a sliver of corpus bytes.
-    exploded = minhash_band_rows(df, id_col, num_perm, bands) \
+    exploded = (band_rows if band_rows is not None
+                else minhash_band_rows(df, id_col, num_perm, bands)) \
         .transform(_materialize)
     left = exploded.alias("l")
     right = exploded.alias("r")
@@ -278,9 +338,10 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
     b_id of any confirmed pair with a smaller surviving... NB this is the
     standard one-pass approximation of connected components; exact CC
     needs iteration and rarely changes results at threshold>=0.8)."""
-    with_sig = minhash_signature(df, text_col, id_col, num_perm, shingle_k,
-                                 seed)
-    cands = minhash_lsh_candidates(with_sig, id_col, num_perm, bands)
+    band_rows = minhash_band_rows_from_text(df, text_col, id_col, num_perm,
+                                            bands, shingle_k, seed)
+    cands = minhash_lsh_candidates(None, id_col, num_perm, bands,
+                                   band_rows=band_rows)
     verified = exact_jaccard_pairs(df, cands, text_col, id_col, shingle_k) \
         .filter(F.col("jaccard") >= threshold)
     losers = verified.select(F.col("b_id").alias(id_col)).distinct()

@@ -12,9 +12,9 @@ not the corpus:
   ``doc_id`` — the surviving documents.
 - ``band_index`` lake table ``(band_idx, band_hash, doc_id)`` keyed on
   all three columns — one row per (surviving doc, band), hashed by
-  ``operators/dedup.py:minhash_band_rows`` (sharing the kernel with
-  the in-batch LSH join guarantees an index written here probes
-  identically there).
+  ``operators/dedup.py:minhash_band_rows_from_text`` (sharing the
+  kernel with the in-batch LSH join guarantees an index written here
+  probes identically there).
 
 Per-batch cost anatomy (the 100 TB argument):
   1. signatures for the BATCH only — O(batch), the corpus is never
@@ -70,8 +70,7 @@ from dlp_plugins_spark.cdc.merge import merge_batch
 from dlp_plugins_spark.operators.dedup import (
     _materialize,
     exact_jaccard_pairs,
-    minhash_band_rows,
-    minhash_signature,
+    minhash_band_rows_from_text,
 )
 
 PARAMS_FILE = "dedup_params.json"
@@ -184,9 +183,13 @@ class DedupCorpus:
     # -- ingest ---------------------------------------------------------------
 
     def _band_rows(self, docs: DataFrame) -> DataFrame:
-        sig = minhash_signature(docs, "text", "doc_id", self.num_perm,
-                                self.shingle_k, self.seed)
-        return minhash_band_rows(sig, "doc_id", self.num_perm, self.bands)
+        # fused signature+band kernel: one Arrow pass per batch, band
+        # hashes bit-identical to minhash_band_rows(minhash_signature)
+        # (the sharing guarantee in the module docstring holds because
+        # the in-batch self-join builds from this same function)
+        return minhash_band_rows_from_text(
+            docs, "text", "doc_id", self.num_perm, self.bands,
+            self.shingle_k, self.seed)
 
     def _append(self, survivors: DataFrame, batch_id: int,
                 bands_surv: DataFrame, conflict_retries: int = 0) -> None:

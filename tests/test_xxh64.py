@@ -107,3 +107,26 @@ def test_minhash_signature_equals_jvm_form(spark, rnd):
     got = {r["doc_id"]: r["_minhash"] for r in minhash_signature(
         df, num_perm=num_perm, shingle_k=k, seed=seed).collect()}
     assert got == want
+
+
+def test_fused_band_rows_equal_composed_form(spark, rnd):
+    """minhash_band_rows_from_text (fused kernel) must emit exactly
+    minhash_band_rows(minhash_signature(df)) — the sharing guarantee
+    between the persisted band index and the in-batch LSH join."""
+    from dlp_plugins_spark.operators.dedup import (
+        minhash_band_rows, minhash_band_rows_from_text, minhash_signature,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "x9", "zz"]
+    docs = [(0, None), (1, "one two"), (2, " ".join(
+        rnd.choice(words) for _ in range(30)))]
+    for i in range(3, 50):
+        docs.append((i, " ".join(
+            rnd.choice(words) for _ in range(rnd.randrange(0, 40)))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fused = sorted(map(tuple, minhash_band_rows_from_text(
+        df, num_perm=16, bands=4, shingle_k=3).collect()))
+    composed = sorted(map(tuple, minhash_band_rows(
+        minhash_signature(df, num_perm=16, shingle_k=3),
+        num_perm=16, bands=4).collect()))
+    assert fused == composed
