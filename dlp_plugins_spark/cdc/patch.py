@@ -48,7 +48,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from dlp_plugins_spark.cdc.lake import LakeTable, key_bucket_expr
+from dlp_plugins_spark.cdc.lake import (
+    CommitConflict,
+    LakeTable,
+    key_bucket_expr,
+)
 
 LSN_COL = "lsn"
 OP_COL = "op"
@@ -86,12 +90,50 @@ def apply_patch_batch(
     table: LakeTable,
     batch: DataFrame,
     batch_ids: list[int],
+    lsn_window: int | None = None,
+    conflict_retries: int = 0,
 ) -> int | None:
     """Apply one sparse-update batch to a lake table (merge-on-write):
     union current touched-bucket rows (as op='I' at ``_lsn``) with the
     exactly-once-filtered batch, fold with patch semantics, commit.
     Returns the new snapshot id, or None if the whole batch was
-    already applied."""
+    already applied (by batch id).
+
+    ``lsn_window``: same contract as ``merge_batch(lsn_window=...)`` —
+    a micro-batch that follows FILE boundaries (a re-chunked or
+    out-of-order streaming delivery) can cover non-contiguous LSN
+    ranges; committing one global ``(lo, hi)`` span would mark the gap
+    LSNs applied before they were delivered and ``applied_filter``
+    would silently drop them on arrival. With a window size set, the
+    stats job additionally groups by ``lsn // W`` and the commit
+    records one applied range per window actually present.
+    ``None`` keeps the single-span commit, which is exact only under
+    the in-order aligned-batch delivery the module docstring assumes.
+
+    ``conflict_retries``: optimistic-concurrency retry mirroring
+    ``merge_batch`` — a maintenance compaction landing between this
+    batch's snapshot read and its commit raises ``CommitConflict``;
+    each retry recomputes against the new current snapshot.
+
+    A batch whose every row was dropped by ``applied_filter`` (rows
+    replayed under new batch ids) still commits — an empty snapshot
+    that records the batch ids, so ``is_batch_applied`` bookkeeping
+    stays consistent with the early-return contract."""
+    last: Exception | None = None
+    for _ in range(max(conflict_retries, 0) + 1):
+        try:
+            return _apply_patch_once(table, batch, batch_ids, lsn_window)
+        except CommitConflict as exc:
+            last = exc
+    raise last
+
+
+def _apply_patch_once(
+    table: LakeTable,
+    batch: DataFrame,
+    batch_ids: list[int],
+    lsn_window: int | None = None,
+) -> int | None:
     spark = batch.sparkSession
     snap = table.current_snapshot()
     if batch_ids and all(table.is_batch_applied(b, snap)
@@ -103,12 +145,43 @@ def apply_patch_batch(
 
     fresh = batch.filter(table.applied_filter(snap)).withColumn(
         "_bucket", key_bucket_expr(key_cols, table.n_buckets))
-    stats = fresh.groupBy().agg(
-        F.min(LSN_COL).alias("lo"), F.max(LSN_COL).alias("hi"),
-        F.collect_set("_bucket").alias("buckets")).collect()[0]
-    if stats["lo"] is None:
-        return None
-    touched = sorted(stats["buckets"])
+    stats_src = fresh
+    group_cols: list[str] = []
+    if lsn_window is not None:
+        stats_src = fresh.withColumn(
+            "_w", (F.col(LSN_COL) / F.lit(int(lsn_window))).cast("long"))
+        group_cols = ["_w"]
+    stat_rows = [
+        r for r in stats_src.groupBy(*group_cols).agg(
+            F.min(LSN_COL).alias("lo"), F.max(LSN_COL).alias("hi"),
+            F.collect_set("_bucket").alias("buckets")).collect()
+        if r["lo"] is not None
+    ]
+    if not stat_rows:
+        # every row already applied under OTHER batch ids: record THIS
+        # batch's ids with an empty commit (no files, no new LSN spans)
+        # so is_batch_applied stays consistent for replay bookkeeping
+        empty = spark.createDataFrame([], T.StructType(
+            snap.schema().fields
+            + [T.StructField("_bucket", T.LongType())]))
+        new_snap = table.commit_merge(
+            empty, touched_buckets=[], lsn_range=(0, -1),
+            batch_ids=batch_ids, schema=snap.schema(),
+            lineage_extra={"merge_path": "patch", "empty_batch": True},
+            expected_parent=snap.snapshot_id,
+        )
+        return new_snap.snapshot_id
+    touched = sorted({b for r in stat_rows for b in r["buckets"]})
+    if lsn_window is None:
+        commit_range = (
+            int(min(r["lo"] for r in stat_rows)),
+            int(max(r["hi"] for r in stat_rows)),
+        )
+    else:
+        commit_range = [
+            (int(r["lo"]), int(r["hi"]))
+            for r in sorted(stat_rows, key=lambda r: r["_w"])
+        ]
 
     # additive schema evolution (same rule as merge_batch): new nullable
     # payload columns in the batch are adopted; existing rows read back
@@ -146,7 +219,7 @@ def apply_patch_batch(
     new_snap = table.commit_merge(
         folded,
         touched_buckets=touched,
-        lsn_range=(int(stats["lo"]), int(stats["hi"])),
+        lsn_range=commit_range,
         batch_ids=batch_ids,
         schema=evolved,
         lineage_extra={"merge_path": "patch"},

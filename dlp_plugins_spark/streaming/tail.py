@@ -259,6 +259,7 @@ def stream_patch_replay(
     event_schema,
     max_files_per_trigger: int = 4,
     batch_id_base: int = 0,
+    lsn_window: int | None = None,
 ):
     """Streaming tail with SPARSE-UPDATE (patch) semantics
     (``cdc/patch.py``): for sources whose update images omit unchanged
@@ -282,14 +283,25 @@ def stream_patch_replay(
     stored state, so a later-arriving LOWER-LSN update would resurrect
     it. Batches must therefore apply in LSN order — exactly the
     documented mow contract (`cdc/merge.py`), which an in-order file
-    tail satisfies."""
+    tail satisfies.
+
+    ``lsn_window``: forwarded to ``apply_patch_batch``. Micro-batches
+    follow FILE boundaries; if a restart re-chunks the source so one
+    micro-batch covers non-contiguous LSN windows, a single global
+    applied-span would mark the gap LSNs applied before delivery and
+    silently drop them on arrival. Pass the segment window size (as
+    the LWW tails do) to commit one applied range per window actually
+    present; ``None`` keeps the single-span commit and with it the
+    in-order-delivery assumption."""
     def apply_micro_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from dlp_plugins_spark.cdc.patch import apply_patch_batch
 
         if batch_df.isEmpty():
             return
         apply_patch_batch(table, batch_df,
-                          [batch_id_base + int(epoch_id)])
+                          [batch_id_base + int(epoch_id)],
+                          lsn_window=lsn_window,
+                          conflict_retries=2)
 
     return (
         spark.readStream.schema(event_schema)

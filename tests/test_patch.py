@@ -170,3 +170,55 @@ def test_patch_schema_evolution(spark, tmp_path):
     state = {r.k: (r.x, r.y, r.lang, r._lsn)
              for r in t.read(spark).collect()}
     assert state == {1: (1, "a", "fr", 10), 2: (2, "b", None, 2)}
+
+
+def test_patch_lsn_window_keeps_gap_lsns_deliverable(spark, tmp_path):
+    """Round-5 ADVICE (medium): a non-contiguous micro-batch committed
+    ONE global (lo, hi) span, marking undelivered gap LSNs applied —
+    a later delivery inside the gap was silently dropped. With
+    lsn_window set, the commit records one applied range per window
+    present, and the gap delivery lands."""
+    W = 10
+    t = LakeTable.create(str(tmp_path / "t"), PAYLOAD, ["k"], n_buckets=4)
+    # micro-batch covering windows 0 and 2 — window 1 (lsn 10..19)
+    # has NOT been delivered yet
+    b0 = spark.createDataFrame([
+        (1, 1, "w0", "I", 1),
+        (3, 3, "w2", "I", 25),
+    ], SCHEMA)
+    apply_patch_batch(t, b0, [0], lsn_window=W)
+    snap = t.current_snapshot()
+    assert [11, 19] not in [
+        [max(r[0], 10), min(r[1], 19)] for r in snap.applied_ranges
+    ], snap.applied_ranges
+    # the late window-1 delivery must NOT be filtered out
+    b1 = spark.createDataFrame([(2, 2, "w1", "I", 15)], SCHEMA)
+    apply_patch_batch(t, b1, [1], lsn_window=W)
+    rows = {r.k: (r.x, r.y) for r in t.read(spark).collect()}
+    assert rows == {1: (1, "w0"), 2: (2, "w1"), 3: (3, "w2")}
+
+    # CONTRAST: the single-span form drops the same delivery (the
+    # failure mode the window commit exists to prevent)
+    t2 = LakeTable.create(str(tmp_path / "t2"), PAYLOAD, ["k"], n_buckets=4)
+    apply_patch_batch(t2, b0, [0])
+    apply_patch_batch(t2, b1, [1])
+    rows2 = {r.k for r in t2.read(spark).collect()}
+    assert 2 not in rows2
+
+
+def test_patch_all_applied_batch_records_batch_id(spark, tmp_path):
+    """Round-5 ADVICE (low): a batch whose every row is dropped by
+    applied_filter must still record its batch ids (empty commit), so
+    is_batch_applied matches the early-return contract."""
+    t = LakeTable.create(str(tmp_path / "t"), PAYLOAD, ["k"], n_buckets=4)
+    b = spark.createDataFrame([(1, 1, "a", "I", 5)], SCHEMA)
+    apply_patch_batch(t, b, [0])
+    before = {r.k: (r.x, r.y) for r in t.read(spark).collect()}
+    # same rows redelivered under a NEW batch id: rows all filtered,
+    # batch id must still be recorded and state unchanged
+    sid = apply_patch_batch(t, b, [7])
+    assert sid is not None
+    assert t.is_batch_applied(7)
+    assert {r.k: (r.x, r.y) for r in t.read(spark).collect()} == before
+    # and the recorded id now early-returns
+    assert apply_patch_batch(t, b, [7]) is None
