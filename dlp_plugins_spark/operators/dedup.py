@@ -7,9 +7,10 @@ Four tiers, each with a different cost/recall point, all deterministic:
   oracle-checkable baseline.
 - **minhash_lsh** — word-shingles -> per-permutation minhash signature ->
   banded LSH buckets -> candidate pairs -> exact Jaccard verification.
-  Signatures are built ENTIRELY JVM-side (xxhash64 over the shingle
-  array + `transform`/`array_min` column expressions), so the only
-  shuffle is the band-bucket groupBy; Python never touches row data.
+  Signatures and band hashes are computed in ONE Arrow kernel on the
+  numpy XXH64 mirror (``functions/xxh64.py``), bit-identical to the
+  ``F.xxhash64`` expression chain (property-tested); the only shuffle
+  is the band equi-join's.
 - **simhash** — 64-bit sign-of-weighted-sum fingerprint (numpy pandas
   UDF, Arrow-batched); near-dups = equal fingerprint (or Hamming<=k via
   band rotation).
